@@ -1,0 +1,132 @@
+"""P1/P2/P7/P8 — envelope decode, value conversion, cell semantics, flatten.
+
+Reference: the protobuf ``RowMessage`` is decoded into op + typed old/new
+tuples (``YbProtoReplicationMessage.java:36-181``, per-datum extraction
+``YbProtoColumnValue.java:63-157``), every column wrapped as a ``{value, set}``
+cell so "column unchanged" is distinguishable from "column set to NULL"
+(``YBTableSchemaBuilder.java:436-449`` schema, ``:280-292`` fill), then
+optionally flattened by the ``YBExtractNewRecordState`` SMT
+(``YBExtractNewRecordState.java:57-221``).
+
+Spark-first mapping: the wire payload is a JSON document column; decode is a
+single ``from_json`` JVM expression (whole-stage codegen, Arrow-free) — the
+default hot path. A vectorized pandas-UDF decoder is provided as the
+drop-in for payload formats Spark can't parse natively (protobuf, custom
+binary); it demonstrates the mandated Arrow-batched path with identical
+output. The ``{value, set}`` cell is represented as the ``after`` struct plus
+a ``changed`` array; ``cell_set()`` reads the flag.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Typed schema of the decoded payload (self-describing — replaces the
+#: reference's serialized OID type registry, ``YugabyteDBTypeRegistry.java``).
+AFTER_SCHEMA = T.StructType(
+    [
+        T.StructField("commit", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("content", T.StringType()),
+        T.StructField("stars", T.LongType()),
+    ]
+)
+PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("after", AFTER_SCHEMA),
+        T.StructField("changed", T.ArrayType(T.StringType())),
+        T.StructField(
+            "before_key",
+            T.StructType(
+                [T.StructField("repo", T.StringType()), T.StructField("path", T.StringType())]
+            ),
+        ),
+        T.StructField("action", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("type", T.StringType()),
+    ]
+)
+
+#: Columns of the replicated source table, in schema order.
+TABLE_COLUMNS = ("commit", "lang", "content", "stars")
+
+
+def decode_envelope(df: DataFrame, *, use_pandas: bool = False) -> DataFrame:
+    """P1 — parse the wire payload into typed ``after``/``changed``/``ddl``
+    columns. Default path is ``from_json`` (pure JVM); ``use_pandas=True``
+    routes through an Arrow-batched pandas UDF with identical semantics."""
+    if use_pandas:
+        decoded = _decode_payload_pandas(F.col("payload"))
+    else:
+        decoded = F.from_json(F.col("payload"), PAYLOAD_SCHEMA)
+    return (
+        df.withColumn("_p", decoded)
+        .withColumn("after", F.col("_p.after"))
+        .withColumn("changed", F.col("_p.changed"))
+        .withColumn("before_key", F.col("_p.before_key"))
+        .withColumn("ddl_action", F.col("_p.action"))
+        .withColumn("ddl_name", F.col("_p.name"))
+        .withColumn("ddl_type", F.col("_p.type"))
+        .drop("_p")
+    )
+
+
+@F.pandas_udf(PAYLOAD_SCHEMA)
+def _decode_payload_pandas(payload: pd.Series) -> pd.DataFrame:
+    """Arrow-vectorized JSON decode (stand-in for a protobuf decoder; one
+    Python call per ~10k-row Arrow batch, not per row)."""
+    after, changed, before_key, action, name, typ = [], [], [], [], [], []
+    for s in payload:
+        d = json.loads(s) if s else {}
+        a = d.get("after")
+        after.append(
+            None
+            if a is None
+            else {k: a.get(k) for k in ("commit", "lang", "content", "stars")}
+        )
+        changed.append(d.get("changed"))
+        before_key.append(d.get("before_key"))
+        action.append(d.get("action"))
+        name.append(d.get("name"))
+        typ.append(d.get("type"))
+    return pd.DataFrame(
+        {
+            "after": after,
+            "changed": changed,
+            "before_key": before_key,
+            "action": action,
+            "name": name,
+            "type": typ,
+        }
+    )
+
+
+def cell_set(column_name: str) -> Column:
+    """P7 — the ``set`` flag of a ``{value, set}`` cell: was this column
+    delivered in the event? (``YBTableSchemaBuilder.java:280-292``)."""
+    return F.coalesce(F.array_contains(F.col("changed"), column_name), F.lit(False))
+
+
+def cell_struct(column_name: str) -> Column:
+    """P7 — explicit ``{value, set}`` struct form (wire-compatible shape with
+    the reference's cell schema, ``YBTableSchemaBuilder.java:436-449``)."""
+    return F.struct(
+        F.col(f"after.{column_name}").alias("value"), cell_set(column_name).alias("set")
+    )
+
+
+def extract_new_record_state(decoded: DataFrame, columns=TABLE_COLUMNS) -> DataFrame:
+    """P8 — ``YBExtractNewRecordState`` SMT analogue
+    (``YBExtractNewRecordState.java:57-221``): unwrap envelope → after image,
+    drop unset cells (null), add ``__deleted``."""
+    proj = [F.col("repo"), F.col("path")]
+    proj += [
+        F.when(cell_set(c), F.col(f"after.{c}")).alias(c) for c in columns
+    ]
+    proj.append(F.col("op").isin("d", "t").alias("__deleted"))
+    return decoded.select(*proj)

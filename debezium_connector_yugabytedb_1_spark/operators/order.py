@@ -1,0 +1,147 @@
+"""M1/M2 — ordering, last-writer-wins dedup, and the per-key change fold.
+
+Reference semantics being re-created:
+
+- The consistent-streaming ``Merger`` releases records in
+  ``(commit_time, record_time)`` order across tablets, gated by the stream
+  safetime watermark, asserting per-tablet monotonicity
+  (``Merger.java:15-240``, peek gate ``:116-133``; comparator
+  ``Message.compareTo:64-79``; unsigned HT compare
+  ``Message.toUnsignedBigInteger:173-184``).
+- Offsets are totally ordered by ``(term, index, write_id)``
+  (``OpId.compareTo:126-135``).
+- Replay applies events per key in offset order; the last writer wins, with
+  changed-columns-only updates folding into the prior image
+  (``YBTableSchemaBuilder.java:280-292``).
+
+Two Spark-first implementations:
+
+1. ``last_writer_wins`` — window ``row_number() OVER (PARTITION BY key ORDER
+   BY offset DESC) = 1``. Exactly the north-rule formulation; one shuffle +
+   per-partition sort.
+
+2. ``fold_changes`` — **aggregation fold**: the full replay semantics
+   (per-column LWW with delete barriers) expressed as conditional
+   ``max(struct(offset, value))`` aggregates. This is the scale path: it
+   uses hash aggregation with map-side partial aggregation (each input
+   partition pre-folds its events before the shuffle), so shuffle volume is
+   ~one row per key per input partition instead of every event — at 10^10
+   events over 10^7 keys that is a ~1000x shuffle reduction vs the window
+   sort, and there is no per-key sort at all. Equivalence to the window form
+   is property-tested.
+
+Why a fold and not just "last row wins": an UPDATE may carry only changed
+columns. The final image of a key is, per column, the value from the latest
+event that *set* that column **after** the key's latest delete/tombstone
+barrier; the row exists iff any upsert is newer than the latest delete.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..offsets import offset_struct
+from .decode import TABLE_COLUMNS, cell_set
+from .emit import DELETE_OPS, UPSERT_OPS
+
+KEY_COLS = ("repo", "path")
+
+def _neg_off() -> Column:
+    """Sentinel smaller than every real offset (snapshot term is -1 with
+    index >= 0, so (-2,..) sorts below it)."""
+    return F.struct(
+        F.lit(-2).cast("long").alias("term"),
+        F.lit(-2).cast("long").alias("index"),
+        F.lit(-2).cast("long").alias("write_id"),
+    )
+
+
+def last_writer_wins(
+    df: DataFrame,
+    key_cols=KEY_COLS,
+    order_desc: tuple[str, ...] = ("term", "index", "write_id"),
+) -> DataFrame:
+    """M2 — keep only each key's newest event (window-over-offset LWW)."""
+    w = W.partitionBy(*key_cols).orderBy(*[F.col(c).desc() for c in order_desc])
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def commit_time_order(df: DataFrame) -> DataFrame:
+    """M1 — consistent release order within a micro-batch: sort by
+    ``(commit_time, record_time, offset)`` (the Merger's comparator,
+    ``Message.compareTo:64-79``). Range-partitioned sort; used when a
+    consumer needs cross-tablet commit order, not for state replay."""
+    return df.orderBy("commit_time", "record_time", "term", "index", "write_id")
+
+
+def assert_tablet_monotonic(df: DataFrame) -> DataFrame:
+    """M1 invariant — per-tablet offsets must be strictly increasing in
+    commit order (the Merger's IllegalStateException guard,
+    ``Merger.java`` add/peek asserts). Returns violating rows (empty = ok)."""
+    w = W.partitionBy("tablet_id").orderBy("term", "index", "write_id")
+    prev_ct = F.lag("commit_time").over(w)
+    return (
+        df.select("tablet_id", "term", "index", "write_id", "commit_time")
+        .withColumn("_prev", prev_ct)
+        .where(F.col("_prev").isNotNull() & (F.col("_prev") > F.col("commit_time")))
+    )
+
+
+def _fold_agg_exprs(columns) -> list[Column]:
+    off = offset_struct()
+    is_del = F.col("op").isin(*DELETE_OPS)
+    is_up = F.col("op").isin(*UPSERT_OPS)
+    aggs = [
+        F.max(F.when(is_del, off)).alias("_last_del"),
+        F.max(F.when(is_up, off)).alias("_last_up"),
+        F.max(off).alias("_last_off"),
+        F.count(F.lit(1)).alias("_n_events"),
+    ]
+    for c in columns:
+        aggs.append(
+            F.max(
+                F.when(is_up & cell_set(c), F.struct(off.alias("off"), F.col(f"after.{c}").alias("v")))
+            ).alias(f"_m_{c}")
+        )
+    return aggs
+
+
+def fold_changes(decoded: DataFrame, columns=TABLE_COLUMNS, key_cols=KEY_COLS) -> DataFrame:
+    """M2 (scale path) — collapse a batch of DML events to one row per key.
+
+    Output schema: key cols + ``<c>_val``/``<c>_set`` per column +
+    ``exists`` (false ⇒ the key's final event is a delete) +
+    ``had_delete`` + ``last_offset``.
+
+    ``<c>_set`` means "this batch determines column c" (set after the last
+    delete barrier); unset columns defer to the sink's current value. After a
+    delete barrier, unset columns are explicit NULLs — a reinserted row must
+    not resurrect pre-delete column values (the tombstone/stale-update trap,
+    ``YBExtractNewRecordState.java:64-67``).
+    """
+    folded = decoded.groupBy(*key_cols).agg(*_fold_agg_exprs(columns))
+    del_floor = F.coalesce(F.col("_last_del"), _neg_off())
+    out = folded.withColumn(
+        "exists", F.col("_last_up").isNotNull() & (F.coalesce(F.col("_last_up"), _neg_off()) > del_floor)
+    ).withColumn("had_delete", F.col("_last_del").isNotNull())
+    for c in columns:
+        m = F.col(f"_m_{c}")
+        is_live = m.isNotNull() & (m["off"] > del_floor)
+        out = out.withColumn(f"{c}_set", is_live).withColumn(
+            f"{c}_val", F.when(is_live, m["v"])
+        )
+    return out.select(
+        *key_cols,
+        "exists",
+        "had_delete",
+        F.col("_last_off").alias("last_offset"),
+        F.col("_n_events").alias("n_events"),
+        *[F.col(f"{c}_val") for c in columns],
+        *[F.col(f"{c}_set") for c in columns],
+    )
