@@ -1,0 +1,194 @@
+"""Benchmark harness.
+
+Default mode: run the headline workload at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+
+  {"metric": "cdc_replay_events_per_sec", "value": <pipeline secs>,
+   "unit": "sec", "queries": {...per-query secs...}, "sf": 0.1,
+   "events_per_sec": N, "n_events": M, ...}
+
+The headline is the end-to-end CDC replay (tail → decode → fold → MERGE →
+checkpoint) over a deterministic synthetic corpus sized ~20M events per sf
+unit (sf0.1 → 2M events), written once to /tmp and reused.
+
+--scaling: run the identical replay at two parallelism levels (8 and 32
+cores by default) in separate JVMs (subprocess re-exec) on the SAME corpus,
+compute scaling efficiency, and write BENCH/BASELINE.md. This is the
+sandbox evidence for the north rule's N→4N executor criterion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+EVENTS_PER_SF = 20_000_000  # sf0.1 → 2M events
+
+BENCH_QUERIES = [
+    "cdc_lww_dedup",
+    "cdc_envelope_project",
+    "cdc_checkpoint_max_merge",
+    "cdc_order_consistent",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "ann_brute_force_topk",
+    "text_quality",
+    "text_langid",
+    "multimodal_meta",
+]
+
+
+def sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.0
+
+
+SEGMENT_SIZE = 250_000
+
+
+def corpus_path(n_events: int) -> str:
+    return f"/tmp/ybcdc_bench/events_n{n_events}_seg{SEGMENT_SIZE}"
+
+
+def ensure_corpus(spark, n_events: int) -> str:
+    from debezium_connector_yugabytedb_1_spark.generator import generate_events, write_events
+
+    path = corpus_path(n_events)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        ev = generate_events(
+            spark,
+            n_events,
+            n_repos=max(50, n_events // 1000),
+            paths_per_repo=40,
+            n_tablets=64,
+            ddl_at=(n_events // 2,),
+            num_partitions=64,  # fixed: corpus identical at every core count
+        )
+        write_events(ev, path, segment_size=SEGMENT_SIZE)
+    return path
+
+
+def run_replay(spark, events_path: str, n_events: int, workdir: str) -> dict:
+    """The measured region: tail → decode → fold → MERGE → checkpoint."""
+    import shutil
+
+    from debezium_connector_yugabytedb_1_spark.lake import LakeTable
+    from debezium_connector_yugabytedb_1_spark.operators.checkpoint import CheckpointStore
+    from debezium_connector_yugabytedb_1_spark.streaming.pipeline import CdcPipeline
+
+    shutil.rmtree(workdir, ignore_errors=True)
+    table = LakeTable(spark, os.path.join(workdir, "lake"), n_buckets=64)
+    table.init([("commit", "string"), ("lang", "string"), ("content", "string")])
+    ckpt = CheckpointStore(spark, os.path.join(workdir, "ckpt"))
+    pipe = CdcPipeline(
+        spark, events_path, table, ckpt, events_per_batch=max(250_000, n_events // 4)
+    )
+    t0 = time.monotonic()
+    results = pipe.run()
+    dt = time.monotonic() - t0
+    n_rows = table.read().count()
+    return {
+        "replay_sec": round(dt, 3),
+        "events_per_sec": int(n_events / dt),
+        "n_batches": len(results),
+        "final_rows": n_rows,
+    }
+
+
+def run_queries(spark, sf_dir: str) -> dict:
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    out = {}
+    for name in BENCH_QUERIES:
+        t0 = time.monotonic()
+        qs[name](spark, sf_dir).count()
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def one_run(cores: int, include_queries: bool = True) -> dict:
+    from debezium_connector_yugabytedb_1_spark.session import get_spark
+
+    spark = get_spark(app_name=f"ybcdc-bench-{cores}", cores=cores)
+    sf = sf_of(SF_DIR)
+    n_events = max(100_000, int(EVENTS_PER_SF * sf))
+    events_path = ensure_corpus(spark, n_events)
+    replay = run_replay(spark, events_path, n_events, f"/tmp/ybcdc_bench/work_c{cores}")
+    queries = run_queries(spark, SF_DIR) if include_queries else {}
+    return {
+        "metric": "cdc_replay_e2e",
+        "value": replay["replay_sec"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cores": cores,
+        "n_events": n_events,
+        "events_per_sec": replay["events_per_sec"],
+        "n_batches": replay["n_batches"],
+        "final_rows": replay["final_rows"],
+    }
+
+
+def scaling(levels=(8, 32)) -> None:
+    """Run the identical replay at two core counts in fresh JVMs; report
+    throughput at both + scaling efficiency (throughput ratio / core ratio)."""
+    results = []
+    for c in levels:
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(c))
+        out = subprocess.run(
+            [sys.executable, __file__, "--single", "--no-queries"],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        results.append(json.loads(line))
+    lo, hi = results
+    ratio = hi["events_per_sec"] / lo["events_per_sec"]
+    core_ratio = hi["cores"] / lo["cores"]
+    eff = ratio / core_ratio
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(
+            f"""# BENCH — scaling evidence (north rule: efficiency >= 0.8 from N to 4N)
+
+Identical job (CDC replay tail→MERGE, {lo['n_events']:,} events, same corpus,
+same partitioning of input) at two local parallelism levels:
+
+| cores | replay sec | events/sec |
+|---|---|---|
+| {lo['cores']} | {lo['value']} | {lo['events_per_sec']:,} |
+| {hi['cores']} | {hi['value']} | {hi['events_per_sec']:,} |
+
+- throughput ratio {lo['cores']}→{hi['cores']} cores: **{ratio:.2f}x**
+- core ratio: {core_ratio:.0f}x
+- **scaling efficiency: {eff:.2f}**
+
+Method: `python bench.py --scaling` re-execs this benchmark in a fresh JVM
+per level (`local[{lo['cores']}]` / `local[{hi['cores']}]`,
+`spark.sql.shuffle.partitions` = 2x cores); the corpus is generated once
+with a fixed partition count so both levels read byte-identical input.
+"""
+        )
+    print(json.dumps({"scaling_efficiency": round(eff, 3), "levels": results}))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        include_q = "--no-queries" not in sys.argv
+        print(json.dumps(one_run(CPUS, include_queries=include_q)))

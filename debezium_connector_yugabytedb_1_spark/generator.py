@@ -236,16 +236,31 @@ def generate_events(
     )
 
 
-def write_events(df: DataFrame, path: str, *, shuffle_seed: int = 99) -> None:
+def write_events(
+    df: DataFrame, path: str, *, shuffle_seed: int = 99, segment_size: int | None = None
+) -> None:
     """Persist the corpus in *shuffled arrival order* (file order must not be
-    offset order — the engine's ordering logic has to do the work)."""
-    (
-        df.withColumn("_arr", F.xxhash64("eid", F.lit(shuffle_seed)))
-        .sortWithinPartitions("_arr")
-        .drop("_arr")
-        .write.mode("overwrite")
-        .parquet(path)
-    )
+    offset order — the engine's ordering logic has to do the work).
+
+    ``segment_size`` partitions the log into WAL-segment directories
+    (``segment = index // segment_size``): rows stay shuffled *within* a
+    segment, but a tailing reader can partition-prune to the segments of its
+    poll window instead of rescanning the whole log — exactly how a real WAL
+    / Kafka topic is consumed, and the difference between O(batch) and
+    O(log) per poll at 10^10 events."""
+    out = df.withColumn("_arr", F.xxhash64("eid", F.lit(shuffle_seed))).sortWithinPartitions(
+        "_arr"
+    ).drop("_arr")
+    if segment_size:
+        out = out.withColumn("segment", F.floor(F.col("index") / segment_size))
+        out.write.mode("overwrite").partitionBy("segment").parquet(path)
+        import json
+        import os
+
+        with open(os.path.join(path, "_ybcdc_meta.json"), "w") as f:
+            json.dump({"segment_size": segment_size}, f)
+    else:
+        out.write.mode("overwrite").parquet(path)
 
 
 def tablets_table(spark: SparkSession, n_tablets: int = 8, key_space: int = 65536) -> DataFrame:

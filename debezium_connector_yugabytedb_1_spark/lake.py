@@ -140,21 +140,19 @@ class LakeTable:
             sel = {b: p for b, p in sel.items() if b in want}
         cols = [tuple(c) for c in m["columns"]]
         names = list(self.key_cols) + [n for n, _ in cols] + list(_META_COLS)
+        ddl = ", ".join(
+            [f"{k} string" for k in self.key_cols]
+            + [f"{n} {t}" for n, t in cols]
+            + ["_last_term long", "_last_index long", "_last_write_id long",
+               "content_sha256 string"]
+        )
         if not sel:
-            ddl = ", ".join(
-                [f"{k} string" for k in self.key_cols]
-                + [f"{n} {t}" for n, t in cols]
-                + ["_last_term long", "_last_index long", "_last_write_id long",
-                   "content_sha256 string"]
-            )
             df = self.spark.createDataFrame([], ddl)
         else:
+            # explicit manifest schema: no footer sampling/mergeSchema cost;
+            # files predating an ADD COLUMN read the new column as NULL
             paths = [os.path.join(self.path, p) for p in sel.values()]
-            df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
-            for n, t in cols:  # align to manifest schema (post-ADD COLUMN reads)
-                if n not in df.columns:
-                    df = df.withColumn(n, F.lit(None).cast(t))
-            df = df.select(*names)
+            df = self.spark.read.schema(ddl).parquet(*paths).select(*names)
         return df if with_meta else df.drop(*_META_COLS)
 
     # ---------------- DDL (D1) ----------------
@@ -183,7 +181,9 @@ class LakeTable:
         rel = f"data/v{m['version']:08d}"
         out = os.path.join(self.path, rel)
         dfw = df.withColumn("bucket", bucket_expr(self.n_buckets, self.key_cols))
-        dfw.write.partitionBy("bucket").mode("overwrite").parquet(out)
+        dfw.repartition(self.n_buckets, "bucket").write.partitionBy("bucket").mode(
+            "overwrite"
+        ).parquet(out)
         m["buckets"] = self._written_buckets(out, rel)
         self._commit_manifest(m)
         return True
@@ -271,7 +271,22 @@ class LakeTable:
         version = m["version"] + 1
         rel = f"data/v{version:08d}"
         out = os.path.join(self.path, rel)
-        merged.write.partitionBy("bucket").mode("overwrite").parquet(out)
+        # one shuffle on the partition key → exactly one file per touched
+        # bucket (without this, every task writes a file per bucket it sees:
+        # tasks x buckets small files, which poisons every later target read)
+        merged.repartition(len(touched) or 1, "bucket").write.partitionBy(
+            "bucket"
+        ).mode("overwrite").parquet(out)
+
+        try:
+            row = dict(obs.get)
+        except Exception:
+            # AQE's empty-relation propagation can eliminate the observe node
+            # when the merged result is empty; recompute stats from the
+            # (small) folded batch instead.
+            up = folded.where(F.col("exists")).count()
+            dl = folded.where(~F.col("exists") & F.col("had_delete")).count()
+            row = {"upserted": up, "deleted": dl, "carried": 0}
 
         written = self._written_buckets(out, rel)
         buckets = dict(m["buckets"])
@@ -282,7 +297,6 @@ class LakeTable:
         m["buckets"] = buckets
         m["applied_batches"] = (m["applied_batches"] + [batch_id])[-1000:]
         self._commit_manifest(m)
-        row = obs.get
         return MergeStats(
             version=version,
             upserted=int(row["upserted"] or 0),

@@ -1,0 +1,263 @@
+"""Deduplication operators for the training-data pipeline over ``documents``:
+exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+Scale notes (the whole point of each design):
+
+- **exact**: hash-groupBy on md5(text) — one shuffle, map-side partial agg.
+- **ngram_jaccard**: shingle-inverted-index self-join. The join explodes on
+  frequent shingles, so shingles above a document-frequency cap are dropped
+  (standard trick; a shingle shared by thousands of docs carries no dedup
+  signal but quadratic cost). All JVM.
+- **minhash_lsh**: signatures via ``min(xxhash64(shingle, seed_i))`` per
+  band — pure JVM aggregates, no UDF, deterministic; band-bucket join
+  produces candidates; exact Jaccard verifies. This is the 100 TB path:
+  candidate generation is linear + one shuffle per band union.
+- **simhash**: 64-bit signature via numpy in an Arrow pandas UDF (bit ops
+  are a poor fit for SQL exprs); near-dup = identical band prefixes.
+- **embedding cosine**: see similarity.py (shares the kNN machinery).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import word_shingles
+
+
+
+def _spread(df: DataFrame, min_bytes: int = 256 << 10) -> DataFrame:
+    """Large single-file inputs arrive as one partition; shingling/hashing
+    is CPU-bound, so spread them across the cluster before exploding (the
+    shuffle of the raw docs is trivial next to the expansion). Tiny inputs
+    are left alone — 32-way task scheduling costs more than the work."""
+    import os
+
+    try:
+        files = df.inputFiles()
+        total = sum(os.path.getsize(f.replace("file:", "")) for f in files)
+    except Exception:
+        return df
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if files and total > min_bytes and len(files) < target:
+        return df.repartition(target)
+    return df
+
+
+# ---------------------------------------------------------------- exact
+def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep the smallest doc_id per exact text hash. One hash-shuffle."""
+    return (
+        docs.select("doc_id", F.md5(F.col(text_col)).alias("text_md5"))
+        .groupBy("text_md5")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_dupes"))
+        .select("doc_id", "text_md5", "n_dupes")
+    )
+
+
+# ---------------------------------------------------------------- jaccard
+def shingle_index(docs: DataFrame, text_col: str = "text", k: int = 3,
+                  max_df: int | None = None) -> DataFrame:
+    """Inverted index doc → distinct k-shingles, optionally dropping
+    shingles with document frequency > max_df (join-explosion guard)."""
+    sh = _spread(docs).select("doc_id", F.explode(word_shingles(text_col, k)).alias("shingle"))
+    if max_df is not None:
+        keep = sh.groupBy("shingle").count().where(F.col("count") <= max_df)
+        sh = sh.join(F.broadcast(keep.select("shingle")), "shingle")
+    return sh
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """All pairs (a < b) with shingle-set Jaccard >= threshold.
+
+    intersection via inverted-index posting lists; |A| / |B| via per-doc
+    counts over the kept shingles; J = inter / (|A| + |B| - inter). Integer
+    arithmetic until the final comparison (exact, oracle-replicable).
+
+    Plan shape (with max_df): shingles computed ONCE, one groupBy(shingle)
+    builds posting lists, candidate pairs are generated expression-side from
+    each list (bounded by max_df^2/2 per shingle) — no self-join, no second
+    pass over the text. Without max_df a posting list can be O(#docs), so
+    the classic inverted-index self-join is used instead."""
+    sh = _spread(docs).select("doc_id", F.explode(word_shingles(text_col, k)).alias("shingle"))
+    if max_df is not None:
+        # one expensive shingle pass, materialized: postings = shingle →
+        # sorted doc list (df-capped); both pair-gen and sizes derive from it
+        postings = (
+            sh.groupBy("shingle")
+            .agg(F.collect_set("doc_id").alias("docs"))
+            .where(F.size("docs") <= max_df)
+            .select(F.array_sort("docs").alias("docs"))
+            .localCheckpoint()
+        )
+        pair = F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("docs"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("docs"), (i + 2).cast("int"),
+                            (F.size("docs") - i - 1).cast("int"),
+                        ),
+                        lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                    ),
+                )
+            )
+        )
+        inter = (
+            postings.where(F.size("docs") >= 2)
+            .select(pair.alias("p"))
+            .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        sizes = (
+            postings.select(F.explode("docs").alias("doc_id"))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_sh"))
+        )
+    else:
+        sh = shingle_index(docs, text_col, k, max_df)
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(F.col("inter") * F.lit(1.0) >= F.lit(threshold) * (F.col("na") + F.col("nb") - F.col("inter")))
+        .select("doc_a", "doc_b", "inter", "na", "nb")
+    )
+
+
+# ---------------------------------------------------------------- minhash
+def minhash_signatures(docs: DataFrame, text_col: str = "text", k: int = 3,
+                       n_hashes: int = 32) -> DataFrame:
+    """MinHash signature per doc: sig[i] = min over shingles of
+    xxhash64(shingle, seed=i). Deterministic, pure JVM (explode + groupBy
+    with n_hashes min-aggregates, all map-side combinable)."""
+    sh = shingle_index(docs, text_col, k)
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(n_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """MinHash LSH near-dup pairs: band signatures into ``bands`` buckets,
+    join within buckets for candidates, verify with exact Jaccard.
+
+    With r = n_hashes/bands rows per band, the S-curve crossover sits at
+    (1/bands)^(1/r); defaults target J >= 0.5.
+
+    Plan shape: signatures are materialized once (localCheckpoint — cuts the
+    lineage so the self-join and every band read the materialized rows, not
+    a recomputation of the shingle pass), then banded in a single
+    ``posexplode`` projection."""
+    rows = n_hashes // bands
+    sig = minhash_signatures(docs, text_col, k, n_hashes).localCheckpoint()
+    band_buckets = F.array(
+        *[
+            F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)])
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(
+        "doc_id", F.posexplode(band_buckets).alias("band", "bucket")
+    )
+    a = banded.alias("a")
+    b_ = banded.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # verify candidates with exact Jaccard (join back to shingle sets)
+    exact = ngram_jaccard_pairs(docs, text_col, k, threshold, max_df)
+    return cand.join(exact, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "inter", "na", "nb")
+
+
+# ---------------------------------------------------------------- simhash
+@F.pandas_udf(T.LongType())
+def _simhash64(text: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens — vectorized numpy bit
+    accumulation per Arrow batch (no per-row Python beyond the tokenizer)."""
+    out = np.zeros(len(text), dtype=np.int64)
+    for i, t in enumerate(text):
+        if not t:
+            continue
+        toks = t.lower().split()
+        if not toks:
+            continue
+        hs = np.array(
+            [int.from_bytes(__import__("hashlib").md5(w.encode()).digest()[:8], "little")
+             for w in toks],
+            dtype=np.uint64,
+        )
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+        v = (bits * 2 - 1).sum(axis=0)
+        sig = np.uint64(0)
+        for bpos in np.nonzero(v > 0)[0]:
+            sig |= np.uint64(1) << np.uint64(bpos)
+        out[i] = np.int64(sig.astype(np.int64))
+    return pd.Series(out)
+
+
+def simhash_pairs(docs: DataFrame, text_col: str = "text", prefix_bits: int = 16) -> DataFrame:
+    """SimHash near-dup candidates: docs sharing any of the 4 16-bit band
+    prefixes of their 64-bit signature (Hamming-ball blocking)."""
+    sig = _spread(docs).select("doc_id", _simhash64(F.col(text_col)).alias("simhash"))
+    bands = []
+    for i in range(4):
+        bands.append(
+            sig.select(
+                "doc_id",
+                F.lit(i).alias("band"),
+                F.shiftright(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("bucket"),
+            )
+        )
+    banded = bands[0]
+    for d in bands[1:]:
+        banded = banded.unionByName(d)
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )

@@ -1,0 +1,163 @@
+"""Similarity search over an embedding column (``array<float>``):
+brute-force cosine top-k (exact baseline) and an LSH-bucketed variant
+(the scale path).
+
+Brute force: queries x corpus join with JVM-expression cosine — no UDF, no
+Python. For Q queries it is a broadcast of Q rows against a full corpus
+scan: linear in corpus size, embarrassingly parallel, the right baseline
+even at 100 TB when Q is small.
+
+Scale path: random-hyperplane LSH — 64 signed projections → b-bit bucket
+keys; neighbors are searched only within matching buckets across multiple
+independent tables. Projections are deterministic (seeded hash of
+(table, plane, dim)) so signatures are reproducible across runs/cluster
+sizes. Vectorized numpy via mapInPandas.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import cosine_similarity
+from .dedup import _spread
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query (self-matches excluded). Output:
+    (query_id, neighbor_id, rank). Ties broken by neighbor_id."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = _spread(corpus).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_similarity(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def _planes(n_planes: int, dim: int, table: int, seed: int = 7) -> np.ndarray:
+    """Deterministic hyperplanes: standard-normal via seeded Generator keyed
+    by (seed, table) — identical on every executor and cluster size."""
+    rng = np.random.default_rng(abs(hash((seed, table))) % (2**32))
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_signatures(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 16,
+    n_tables: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Random-hyperplane signatures: one (id, table, bucket) row per table.
+    mapInPandas with matrix multiply per Arrow batch — vectorized."""
+    dim = len(df.select(vec_col).first()[0])
+    planes = [_planes(n_planes, dim, t, seed) for t in range(n_tables)]
+    n_t = n_tables
+
+    def sign(batches):
+        for pdf in batches:
+            mat = np.stack(pdf[vec_col].map(np.asarray).values).astype(np.float64)
+            outs = []
+            for t in range(n_t):
+                bits = (mat @ planes[t].T) > 0
+                bucket = bits.dot(1 << np.arange(bits.shape[1], dtype=np.int64))
+                outs.append(
+                    pd.DataFrame(
+                        {"vec_id": pdf[id_col].values, "table": t, "bucket": bucket}
+                    )
+                )
+            yield pd.concat(outs, ignore_index=True)
+
+    return df.select(id_col, vec_col).mapInPandas(
+        sign, schema="vec_id long, table int, bucket long"
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    n_tables: int = 6,
+) -> DataFrame:
+    """Approximate top-k: candidates = bucket collisions in any table, then
+    exact cosine re-rank of candidates only."""
+    sig_c = lsh_signatures(corpus, vec_col, id_col, n_planes, n_tables)
+    sig_q = lsh_signatures(queries, vec_col, id_col, n_planes, n_tables).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    cand = (
+        sig_q.join(sig_c, ["table", "bucket"])
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .withColumn("cosine", cosine_similarity(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    n_tables: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b) via LSH candidates +
+    exact verify."""
+    sig = lsh_signatures(df, vec_col, id_col, n_planes, n_tables)
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", cosine_similarity(F.col("va"), F.col("vb")))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

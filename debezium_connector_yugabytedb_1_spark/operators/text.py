@@ -1,0 +1,84 @@
+"""Text-analysis operators for the training-data pipeline over ``documents``:
+language-ID heuristic, quality scoring, token counting, fingerprinting.
+
+All pure JVM expressions (codegen) — text ops at 100 TB must not leave the
+JVM; regex/array built-ins vectorize per batch in Tungsten.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import (
+    TOKEN_RE,
+    punct_count,
+    rolling_fingerprint,
+    stopword_count,
+    token_count,
+    whitespace_token_count,
+)
+
+#: tiny marker lexicons for the n-gram/keyword language heuristic
+_LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "die"),
+    "es": ("el", "de", "que"),
+    "fr": ("le", "et", "la"),
+}
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features (integer-valued, deterministic):
+    char/token/punct/stopword counts + a boolean quality gate — the classic
+    pre-training filter features (C4-style heuristics)."""
+    t = F.col(text_col)
+    out = docs.select(
+        "doc_id",
+        F.length(t).alias("n_chars"),
+        whitespace_token_count(t).alias("n_tokens_ws"),
+        token_count(t).alias("n_tokens"),
+        punct_count(t).alias("n_punct"),
+        stopword_count(t).alias("n_stopwords"),
+    )
+    return out.withColumn(
+        "is_quality",
+        (F.col("n_chars") >= 50)
+        & (F.col("n_tokens_ws") >= 10)
+        & (F.col("n_punct") * 4 <= F.col("n_tokens")),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keyword-marker language heuristic: count marker-word hits per
+    language; argmax with a deterministic tie-break on language code.
+    (A real deployment would swap in fastText via mapInPandas — the operator
+    shape stays identical.)"""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+
+    def _hits(markers):
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    scores = [_hits(markers).alias(f"score_{lang}") for lang, markers in _LANG_MARKERS.items()]
+    scored = docs.select("doc_id", *scores)
+    langs = list(_LANG_MARKERS)
+    # argmax with fixed priority order (en > de > es > fr) — deterministic
+    # and exactly replicable as an ANSI-SQL CASE for the oracle
+    mx = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.when(mx <= 0, F.lit("und"))
+    for lang in langs:
+        pred = pred.when(F.col(f"score_{lang}") == mx, F.lit(lang))
+    return scored.select(
+        "doc_id",
+        *[F.col(f"score_{lang}") for lang in langs],
+        pred.alias("lang_pred"),
+    )
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Normalized-token-multiset md5 fingerprint per document."""
+    return docs.select(
+        "doc_id",
+        rolling_fingerprint(text_col).alias("fingerprint"),
+        F.md5(F.col(text_col)).alias("raw_md5"),
+    )

@@ -26,6 +26,10 @@ def get_spark(
     """
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle = shuffle_partitions or 2 * cores
+    # make this package importable in forked Python workers regardless of the
+    # caller's cwd (cluster deployments ship it via spark-submit --py-files)
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker_pp = pkg_root + os.pathsep + os.environ.get("PYTHONPATH", "")
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -42,6 +46,7 @@ def get_spark(
         # Dynamic partition overwrite: the lake MERGE rewrites only touched
         # bucket partitions (partition-pruned copy-on-write, Iceberg-style).
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.executorEnv.PYTHONPATH", worker_pp)
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

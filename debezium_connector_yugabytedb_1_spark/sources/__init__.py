@@ -1,0 +1,58 @@
+"""Sources: readers for the CDC event log (batch + streaming).
+
+The event log is parquet (the sandbox stand-in for the gRPC GetChanges
+stream). Readers push offset-range predicates into the scan — the analogue
+of passing ``fromOpId`` to GetChangesCDCSDK
+(``YugabyteDBStreamingChangeEventSource.java:530-535``): Spark never reads
+a row the cursor already passed (parquet row-group stats prune files).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("eid", T.LongType()),
+        T.StructField("tablet_id", T.StringType()),
+        T.StructField("table", T.StringType()),
+        T.StructField("term", T.LongType()),
+        T.StructField("index", T.LongType()),
+        T.StructField("write_id", T.LongType()),
+        T.StructField("commit_time", T.LongType()),
+        T.StructField("record_time", T.LongType()),
+        T.StructField("txn_id", T.StringType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("schema_version", T.IntegerType()),
+        T.StructField("payload", T.StringType()),
+    ]
+)
+
+
+def read_events(
+    spark: SparkSession, path: str, lo: int | None = None, hi: int | None = None
+) -> DataFrame:
+    """Batch read of the event log with index-range pushdown."""
+    df = spark.read.parquet(path)
+    if lo is not None:
+        df = df.where(F.col("index") >= lo)
+    if hi is not None:
+        df = df.where(F.col("index") < hi)
+    return df
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """Structured Streaming file source over the event log (schema must be
+    explicit for streaming reads). ``maxFilesPerTrigger`` is the
+    backpressure knob (Q1 analogue)."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )

@@ -87,6 +87,26 @@ class CdcPipeline:
     def _events(self) -> DataFrame:
         return self.spark.read.parquet(self.events_path)
 
+    def _segment_size(self) -> int | None:
+        import json
+        import os
+
+        meta = os.path.join(self.events_path, "_ybcdc_meta.json")
+        if os.path.exists(meta):
+            with open(meta) as f:
+                return json.load(f).get("segment_size")
+        return None
+
+    def _window(self, events: DataFrame, lo: int, hi: int) -> DataFrame:
+        """Poll window [lo, hi): pushes an index-range predicate and — when
+        the log is WAL-segment partitioned — a partition-pruning segment
+        predicate, so a poll reads O(batch), not O(log)."""
+        w = events.where((F.col("index") >= lo) & (F.col("index") < hi))
+        seg = self._segment_size()
+        if seg and "segment" in events.columns:
+            w = w.where(F.col("segment").between(lo // seg, (hi - 1) // seg))
+        return w
+
     def run(self, max_batches: int | None = None) -> list[BatchResult]:
         """Process micro-batch windows from the stored cursor to the end of
         the available log (or ``max_batches`` windows — the kill/resume
@@ -101,7 +121,7 @@ class CdcPipeline:
         n = 0
         while lo <= max_index and (max_batches is None or n < max_batches):
             hi = lo + self.events_per_batch
-            window = events.where((F.col("index") >= lo) & (F.col("index") < hi))
+            window = self._window(events, lo, hi)
             results.extend(self._process_window(window, lo, hi))
             self.ckpt.commit(
                 batch_offsets(window.where(~F.col("op").isin("ddl"))),
