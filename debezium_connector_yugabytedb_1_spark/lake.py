@@ -196,11 +196,58 @@ class LakeTable:
                     found[d.split("=", 1)[1]] = f"{rel}/{d}"
         return found
 
+    def expire_versions(self, keep_last: int = 5) -> int:
+        """Iceberg ``expire_snapshots`` analogue: delete version manifests
+        older than the last ``keep_last`` and any data directory no longer
+        referenced by a kept manifest. Returns #data dirs removed.
+
+        Safe under the single-writer assumption: the current pointer is
+        never touched, and only unreferenced directories are deleted."""
+        import shutil
+
+        cur = self._current_version()
+        if cur < 0:
+            return 0
+        keep = set(range(max(0, cur - keep_last + 1), cur + 1))
+        referenced: set[str] = set()
+        for v in keep:
+            p = os.path.join(self._vdir(), f"v{v:08d}.json")
+            if not os.path.exists(p):
+                continue
+            with open(p) as f:
+                m = json.load(f)
+            for rel in m["buckets"].values():
+                # bucket paths look like data/vNNNNNNNN/bucket=K
+                referenced.add(rel.split("/bucket=")[0])
+        removed = 0
+        data_root = os.path.join(self.path, "data")
+        if os.path.isdir(data_root):
+            for d in os.listdir(data_root):
+                rel = f"data/{d}"
+                if rel not in referenced:
+                    shutil.rmtree(os.path.join(data_root, d), ignore_errors=True)
+                    removed += 1
+        for f_ in os.listdir(self._vdir()):
+            v = int(f_[1:9]) if f_.startswith("v") else None
+            if v is not None and v not in keep:
+                os.remove(os.path.join(self._vdir(), f_))
+        return removed
+
     # ---------------- MERGE (K1) ----------------
-    def merge(self, folded: DataFrame, batch_id: str) -> MergeStats:
+    def merge(
+        self, folded: DataFrame, batch_id: str, touched_buckets: list[int] | None = None
+    ) -> MergeStats:
         """Apply a folded batch (output of ``order.fold_changes``) with
         last-writer-wins + per-column coalesce + delete semantics. Idempotent
-        per ``batch_id`` and per-row offset-guarded."""
+        per ``batch_id`` and per-row offset-guarded.
+
+        ``touched_buckets``: the bucket set the batch touches, derivable
+        from the batch's raw keys *without* running the fold (the pipeline
+        computes it on the undecoded batch). When omitted, a fallback
+        distinct pass over ``folded`` derives it — costing one extra fold
+        computation, deliberately NOT a cache/localCheckpoint: materializing
+        wide string rows measures ~3x the fold compute itself and does not
+        scale, while recomputation is pure parallel CPU."""
         m = self.manifest()
         if batch_id in m["applied_batches"]:
             return MergeStats(version=m["version"], skipped=True)
@@ -208,7 +255,10 @@ class LakeTable:
         key = list(self.key_cols)
 
         s = folded.withColumn("bucket", bucket_expr(self.n_buckets, self.key_cols))
-        touched = [r["bucket"] for r in s.select("bucket").distinct().collect()]
+        if touched_buckets is None:
+            touched = [r["bucket"] for r in s.select("bucket").distinct().collect()]
+        else:
+            touched = [int(b) for b in touched_buckets]
         t = self.read(buckets=touched, with_meta=True).withColumn(
             "bucket", bucket_expr(self.n_buckets, self.key_cols)
         )
@@ -289,6 +339,14 @@ class LakeTable:
             row = {"upserted": up, "deleted": dl, "carried": 0}
 
         written = self._written_buckets(out, rel)
+        stray = set(written) - {str(b) for b in touched}
+        if stray:
+            # a caller-supplied bucket set that misses batch rows would drop
+            # the unread target rows of those buckets — refuse loudly
+            raise ValueError(
+                f"merge wrote buckets {sorted(stray)} not in touched_buckets; "
+                "caller passed an incomplete bucket set"
+            )
         buckets = dict(m["buckets"])
         for b in map(str, touched):
             buckets.pop(b, None)

@@ -53,18 +53,20 @@ def max_merge(old: DataFrame | None, new: DataFrame) -> DataFrame:
 
 
 def batch_offsets(events: DataFrame, phase: str = "streaming") -> DataFrame:
-    """Per-tablet max offset observed in a batch (O2 — what gets acked).
-    Includes tablets whose only rows were filtered (safepoints/NOOPs), so
-    idle tablets advance (``:788-797``)."""
+    """Per-tablet max offset observed in a batch (O2 — what gets acked),
+    plus the per-tablet row count (so callers get batch cardinality from the
+    same single aggregation pass). Includes tablets whose only rows were
+    filtered (safepoints/NOOPs), so idle tablets advance (``:788-797``)."""
     return (
         events.groupBy("tablet_id")
-        .agg(F.max(offset_struct()).alias("o"))
+        .agg(F.max(offset_struct()).alias("o"), F.count(F.lit(1)).alias("n"))
         .select(
             "tablet_id",
             F.col("o.term").alias("term"),
             F.col("o.index").alias("index"),
             F.col("o.write_id").alias("write_id"),
             F.lit(phase).alias("phase"),
+            "n",
         )
     )
 
@@ -99,6 +101,10 @@ class CheckpointStore:
         self.spark = spark
         self.path = path.rstrip("/")
         os.makedirs(self.path, exist_ok=True)
+        # in-memory copy of the committed offsets (tiny: one row per tablet)
+        # so per-batch load() costs no file read; rebuilt from parquet on a
+        # fresh instance (restart)
+        self._mem: tuple | None = None
 
     def _cur(self) -> int:
         p = os.path.join(self.path, "_CURRENT")
@@ -116,10 +122,25 @@ class CheckpointStore:
         os.replace(tmp, os.path.join(self.path, "_CURRENT"))
 
     def load(self) -> DataFrame | None:
+        rows = self.load_rows()
+        if rows is None:
+            return None
+        return self.spark.createDataFrame(rows, CKPT_SCHEMA)
+
+    def load_rows(self) -> list[tuple] | None:
+        """Offset map as plain tuples (tablet_id, term, index, write_id,
+        phase) — the O(#tablets) driver-side form."""
+        if self._mem is not None:
+            return self._mem
         v = self._cur()
         if v < 0:
             return None
-        return self.spark.read.parquet(os.path.join(self.path, f"v{v:08d}"))
+        df = self.spark.read.parquet(os.path.join(self.path, f"v{v:08d}"))
+        self._mem = [
+            (r["tablet_id"], r["term"], r["index"], r["write_id"], r["phase"])
+            for r in df.collect()
+        ]
+        return self._mem
 
     def meta(self) -> dict:
         v = self._cur()
@@ -128,13 +149,47 @@ class CheckpointStore:
         with open(os.path.join(self.path, f"meta-v{v:08d}.json")) as f:
             return json.load(f)
 
-    def commit(self, new_offsets: DataFrame, meta: dict | None = None) -> None:
+    def commit(self, new_offsets, meta: dict | None = None) -> None:
         """O2 — max-merge the new offsets into the store and atomically
         publish (checkpoint never moves backwards even if the caller hands
-        us stale offsets)."""
-        merged = max_merge(self.load(), new_offsets)
+        us stale offsets).
+
+        The offset map is O(#tablets), so the merge runs driver-side and the
+        parquet version is written with pyarrow directly: committing a
+        checkpoint costs ZERO Spark jobs. (The reference's commit path is
+        likewise a driver-side map merge, ``getHigherOffsets:488-518``.)
+        Accepts a DataFrame (collected once) or pre-collected rows."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if isinstance(new_offsets, DataFrame):
+            new_rows = [
+                (r["tablet_id"], r["term"], r["index"], r["write_id"], r["phase"])
+                for r in new_offsets.collect()
+            ]
+        else:
+            new_rows = [tuple(r)[:5] for r in new_offsets]
+        merged: dict[str, tuple] = {}
+        for t, term, index, wid, phase in (self.load_rows() or []) + new_rows:
+            off = (term, index, wid, phase)
+            if t not in merged or off[:3] > merged[t][:3]:
+                merged[t] = off
+        rows = sorted((t, *o) for t, o in merged.items())
         v = self._cur() + 1
-        merged.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(self.path, f"v{v:08d}")
+        vdir = os.path.join(self.path, f"v{v:08d}")
+        os.makedirs(vdir, exist_ok=True)
+        cols = list(zip(*rows)) if rows else [[], [], [], [], []]
+        pq.write_table(
+            pa.table(
+                {
+                    "tablet_id": pa.array(cols[0], pa.string()),
+                    "term": pa.array(cols[1], pa.int64()),
+                    "index": pa.array(cols[2], pa.int64()),
+                    "write_id": pa.array(cols[3], pa.int64()),
+                    "phase": pa.array(cols[4], pa.string()),
+                }
+            ),
+            os.path.join(vdir, "part-00000.parquet"),
         )
         self._commit(v, {**self.meta(), **(meta or {})})
+        self._mem = rows

@@ -54,6 +54,7 @@ class BatchResult:
     n_dispatched: int
     merge: MergeStats
     ddl_applied: list[str] = field(default_factory=list)
+    offsets: "list | None" = None  # collected per-tablet max-offset rows
 
 
 class CdcPipeline:
@@ -122,11 +123,14 @@ class CdcPipeline:
         while lo <= max_index and (max_batches is None or n < max_batches):
             hi = lo + self.events_per_batch
             window = self._window(events, lo, hi)
-            results.extend(self._process_window(window, lo, hi))
-            self.ckpt.commit(
-                batch_offsets(window.where(~F.col("op").isin("ddl"))),
-                meta={"next_lo": hi},
-            )
+            window_results = self._process_window(window, lo, hi)
+            results.extend(window_results)
+            # commit per-tablet offsets observed in this window (already
+            # collected inside _apply — zero extra jobs) + advance cursor
+            rows = [
+                o for r in window_results if r.offsets is not None for o in r.offsets
+            ]
+            self.ckpt.commit(rows, meta={"next_lo": hi})
             lo = hi
             n += 1
         return results
@@ -172,13 +176,40 @@ class CdcPipeline:
                 applied.append(f"rename_column {d['old']}->{d['new']}")
         return applied
 
+    def _touched_buckets(self, batch: DataFrame) -> list[int]:
+        """Bucket set the batch touches, from RAW keys — no JSON decode for
+        the ~98% non-pku rows (the merge then computes the fold exactly once;
+        a PK update also touches its old key, so those payloads — and only
+        those — are decoded for ``before_key``)."""
+        from ..lake import bucket_expr
+        from ..operators.decode import PAYLOAD_SCHEMA
+
+        nb = self.table.n_buckets
+        main = batch.where(F.col("op").isin(*DML_OPS, "pku")).select(
+            bucket_expr(nb, ("repo", "path")).alias("bucket")
+        )
+        old_keys = (
+            batch.where(F.col("op") == "pku")
+            .select(F.from_json("payload", PAYLOAD_SCHEMA)["before_key"].alias("bk"))
+            .select(bucket_expr(nb, ("bk.repo", "bk.path")).alias("bucket"))
+        )
+        rows = main.unionByName(old_keys).distinct().collect()
+        return [int(r["bucket"]) for r in rows]
+
     # ------------------------------------------------------------------
     def _apply(self, batch: DataFrame, batch_id: str) -> BatchResult:
-        """One sub-batch through the full operator chain."""
+        """One sub-batch through the full operator chain. Two passes over
+        the (pruned) batch per sub-batch: one offsets+count aggregation, one
+        decode→fold→MERGE; plus one metrics pass when lineage is enabled."""
         batch = resume_filter(batch, self.ckpt.load())
-        batch = batch.cache()
+        cached = self.metrics is not None
+        if cached:
+            batch = batch.cache()
         try:
-            n_input = batch.count()
+            # one aggregation pass gives both the ack offsets and the batch
+            # cardinality (collected: O(#tablets) rows, no extra jobs)
+            offsets = batch_offsets(batch).collect()
+            n_input = sum(r["n"] for r in offsets)
             if self.metrics is not None:
                 self.metrics.append(batch_metrics(batch, batch_id))
 
@@ -193,9 +224,12 @@ class CdcPipeline:
             dml = split_pk_updates(decoded)
             cols = [n for n, _ in self.table.columns]
             folded = fold_changes(dml, columns=cols)
-            stats = self.table.merge(folded, batch_id)
+            stats = self.table.merge(
+                folded, batch_id, touched_buckets=self._touched_buckets(batch)
+            )
             n_dispatched = stats.upserted + stats.deleted
             warn_wal_backlog(n_input - n_dispatched, n_dispatched)
-            return BatchResult(batch_id, n_input, n_dispatched, stats)
+            return BatchResult(batch_id, n_input, n_dispatched, stats, offsets=offsets)
         finally:
-            batch.unpersist()
+            if cached:
+                batch.unpersist()
