@@ -55,10 +55,11 @@ def sf_of(path: str) -> float:
 
 
 SEGMENT_SIZE = 250_000
+CORPUS_VER = "v3"  # bump when the wire schema changes (invalidates /tmp cache)
 
 
 def corpus_path(n_events: int) -> str:
-    return f"/tmp/ybcdc_bench/events_n{n_events}_seg{SEGMENT_SIZE}"
+    return f"/tmp/ybcdc_bench/events_{CORPUS_VER}_n{n_events}_seg{SEGMENT_SIZE}"
 
 
 def ensure_corpus(spark, n_events: int) -> str:
@@ -88,7 +89,8 @@ def run_replay(spark, events_path: str, n_events: int, workdir: str) -> dict:
     from debezium_connector_yugabytedb_1_spark.streaming.pipeline import CdcPipeline
 
     shutil.rmtree(workdir, ignore_errors=True)
-    table = LakeTable(spark, os.path.join(workdir, "lake"), n_buckets=64)
+    # bucket count sized so bucket files are MBs-not-KBs at this table size
+    table = LakeTable(spark, os.path.join(workdir, "lake"), n_buckets=16)
     table.init([("commit", "string"), ("lang", "string"), ("content", "string")])
     ckpt = CheckpointStore(spark, os.path.join(workdir, "ckpt"))
     batch_sz = int(os.environ.get("SPARK_GRAFT_BATCH", max(250_000, n_events // 4)))

@@ -216,7 +216,15 @@ def generate_events(
         )
         .otherwise(F.lit(None).cast("string"))
     )
-    df = df.withColumn("payload", payload).withColumn("table", F.lit(SOURCE_TABLE))
+    df = (
+        df.withColumn("payload", payload)
+        .withColumn("table", F.lit(SOURCE_TABLE))
+        # PK updates carry the old key top-level too (record-key block):
+        # planners can find touched keys without opening the payload blob
+        .withColumn(
+            "old_path", F.when(F.col("op") == "pku", old_path)
+        )
+    )
 
     return df.select(
         "eid",
@@ -231,6 +239,7 @@ def generate_events(
         "op",
         "repo",
         "path",
+        "old_path",
         "schema_version",
         "payload",
     )
@@ -253,6 +262,12 @@ def write_events(
     ).drop("_arr")
     if segment_size:
         out = out.withColumn("segment", F.floor(F.col("index") / segment_size))
+        # one file per segment: a WAL segment is one contiguous object, and
+        # per-file open/footer overhead otherwise dominates small-file scans;
+        # parquet row-groups keep a big segment file splittable across cores
+        out = out.repartition("segment").sortWithinPartitions(
+            F.xxhash64("eid", F.lit(shuffle_seed))
+        )
         out.write.mode("overwrite").partitionBy("segment").parquet(path)
         import json
         import os

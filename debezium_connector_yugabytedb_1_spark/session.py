@@ -47,6 +47,12 @@ def get_spark(
         # bucket partitions (partition-pruned copy-on-write, Iceberg-style).
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.executorEnv.PYTHONPATH", worker_pp)
+        # The lake's bucket files and WAL segments are small (MBs); the
+        # 128MB/4MB packing defaults would glue a 64-file target read into
+        # ~2 map tasks, capping scan parallelism regardless of cores. At
+        # real 100TB scale (100MB+ files) override these back up.
+        .config("spark.sql.files.maxPartitionBytes", str(16 << 20))
+        .config("spark.sql.files.openCostInBytes", str(1 << 20))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 
 from ..lake import LakeTable, MergeStats
 from ..operators import filters
-from ..operators.checkpoint import CheckpointStore, batch_offsets, resume_filter
+from ..operators.checkpoint import CheckpointStore, resume_filter
 from ..operators.decode import decode_envelope
 from ..operators.emit import DML_OPS, split_pk_updates
 from ..operators.metrics import MetricsSink, batch_metrics, warn_wal_backlog
@@ -54,7 +54,6 @@ class BatchResult:
     n_dispatched: int
     merge: MergeStats
     ddl_applied: list[str] = field(default_factory=list)
-    offsets: "list | None" = None  # collected per-tablet max-offset rows
 
 
 class CdcPipeline:
@@ -120,47 +119,133 @@ class CdcPipeline:
         lo = int(self.ckpt.meta().get("next_lo", 0))
         results: list[BatchResult] = []
         n = 0
-        while lo <= max_index and (max_batches is None or n < max_batches):
-            hi = lo + self.events_per_batch
-            window = self._window(events, lo, hi)
-            window_results = self._process_window(window, lo, hi)
-            results.extend(window_results)
-            # commit per-tablet offsets observed in this window (already
-            # collected inside _apply — zero extra jobs) + advance cursor
-            rows = [
-                o for r in window_results if r.offsets is not None for o in r.offsets
-            ]
-            self.ckpt.commit(rows, meta={"next_lo": hi})
-            lo = hi
-            n += 1
+        # pipelined stats: window k+1's stats job runs concurrently with
+        # window k's merges (stats depends only on the log, not the lake),
+        # hiding the stats pass behind the merge — the GetChanges prefetch
+        # the reference gets from its poll loop, expressed as a 1-slot
+        # lookahead thread (Spark schedulers are thread-safe)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def submit(pool, wlo, whi):
+            w = self._window(events, wlo, whi)
+            return pool.submit(self._window_stats, w), w
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = None
+            window = None
+            while lo <= max_index and (max_batches is None or n < max_batches):
+                hi = lo + self.events_per_batch
+                if fut is None:
+                    fut, window = submit(pool, lo, hi)
+                stats = fut.result()
+                nxt_lo, nxt_hi = hi, hi + self.events_per_batch
+                if nxt_lo <= max_index and (max_batches is None or n + 1 < max_batches):
+                    nxt_fut, nxt_window = submit(pool, nxt_lo, nxt_hi)
+                else:
+                    nxt_fut, nxt_window = None, None
+                results.extend(self._process_window(window, lo, hi, stats))
+                # offsets were part of the single stats pass; commit + advance
+                self.ckpt.commit(stats["offsets"], meta={"next_lo": hi})
+                fut, window = nxt_fut, nxt_window
+                lo = hi
+                n += 1
         return results
 
+    def _window_stats(self, window: DataFrame) -> dict:
+        """ONE aggregation job per poll window yields everything the driver
+        needs: per-tablet ack offsets + row counts, the touched-bucket set
+        (incl. PK-update old keys, decoded inline for the rare pku rows),
+        and the DDL markers. Collapsing these scans into a single job is
+        what keeps the per-batch serial fraction small enough for the
+        N→4N scaling criterion (Amdahl: every extra driver-synchronous job
+        is pure serial time)."""
+        import json
+
+        from ..lake import bucket_expr
+        from ..offsets import offset_struct
+
+        nb = self.table.n_buckets
+        bucket_main = F.when(
+            F.col("op").isin(*DML_OPS, "pku"), bucket_expr(nb, ("repo", "path"))
+        )
+        # PK updates carry the old key top-level (record-key block), so this
+        # pass never opens the payload blob at all: with column pruning the
+        # scan reads only the narrow key/offset columns — the dominant-size
+        # payload column stays on disk (DDL payloads, if any, are fetched by
+        # a targeted point lookup below; DDLs are rare by construction)
+        if "old_path" in window.columns:
+            old_key_hash = F.xxhash64("repo", "old_path")
+        else:  # legacy corpus without the key block: regexp the payload
+            old_key_hash = F.xxhash64(
+                F.regexp_extract("payload", r'"before_key":\{"repo":"([^"]*)"', 1),
+                F.regexp_extract(
+                    "payload", r'"before_key":\{"repo":"[^"]*","path":"([^"]*)"', 1
+                ),
+            )
+        bucket_old = F.when(
+            F.col("op") == "pku", F.pmod(old_key_hash, F.lit(nb))
+        )
+        rows = (
+            window.groupBy("tablet_id")
+            .agg(
+                F.max(offset_struct()).alias("o"),
+                F.count(F.lit(1)).alias("n"),
+                F.array_distinct(
+                    F.array_compact(
+                        F.flatten(F.collect_list(F.array(bucket_main, bucket_old)))
+                    )
+                ).alias("buckets"),
+                F.array_compact(
+                    F.collect_list(F.when(F.col("op") == "ddl", F.col("index")))
+                ).alias("ddl_idx"),
+            )
+            .collect()
+        )
+        ddl_indexes = sorted(int(i) for r in rows for i in r["ddl_idx"])
+        ddls = []
+        if ddl_indexes:
+            payloads = {
+                int(r["index"]): r["payload"]
+                for r in window.where(F.col("index").isin(*ddl_indexes))
+                .select("index", "payload")
+                .collect()
+            }
+            ddls = [(i, json.loads(payloads[i])) for i in ddl_indexes]
+        return {
+            "offsets": [
+                (r["tablet_id"], r["o"]["term"], r["o"]["index"], r["o"]["write_id"],
+                 "streaming")
+                for r in rows
+            ],
+            "n_input": sum(r["n"] for r in rows),
+            "buckets": sorted({int(b) for r in rows for b in r["buckets"]}),
+            "ddls": ddls,
+        }
+
     # ------------------------------------------------------------------
-    def _process_window(self, window: DataFrame, lo: int, hi: int) -> list[BatchResult]:
+    def _process_window(
+        self, window: DataFrame, lo: int, hi: int, stats: dict
+    ) -> list[BatchResult]:
         """Split the window at DDL offsets; apply sub-batches in order with
         schema evolution between them (the DDL cut)."""
-        ddl_rows = (
-            window.where(F.col("op") == "ddl")
-            .select("index", "payload")
-            .orderBy("index")
-            .collect()
-        )  # DDL markers are rare; this collect is O(#DDLs in window)
-        cuts = [lo] + [int(r["index"]) for r in ddl_rows] + [hi]
+        cuts = [lo] + [i for i, _ in stats["ddls"]] + [hi]
         results = []
+        pending_ddl: list[str] = []
         for i in range(len(cuts) - 1):
             sub_lo, sub_hi = cuts[i], cuts[i + 1]
-            sub = window.where((F.col("index") >= sub_lo) & (F.col("index") < sub_hi))
             if i > 0:
                 # apply the DDL that opens this sub-batch (D1)
-                import json
-
-                d = json.loads(ddl_rows[i - 1]["payload"])
-                applied = self._apply_ddl(d)
+                pending_ddl += self._apply_ddl(stats["ddls"][i - 1][1])
+            if sub_lo >= sub_hi or (i > 0 and sub_hi - sub_lo <= 1):
+                # empty slice (DDL at a window edge / adjacent DDLs that
+                # leave only the marker row itself) — nothing to replay
+                continue
+            sub = window.where((F.col("index") >= sub_lo) & (F.col("index") < sub_hi))
+            if i > 0:
                 sub = sub.where(F.col("op") != "ddl")
-                res = self._apply(sub, f"b{sub_lo}-{sub_hi}")
-                res.ddl_applied = applied
-            else:
-                res = self._apply(sub, f"b{sub_lo}-{sub_hi}")
+            res = self._apply(sub, f"b{sub_lo}-{sub_hi}", stats)
+            res.ddl_applied = pending_ddl
+            pending_ddl = []
             results.append(res)
         return results
 
@@ -176,60 +261,26 @@ class CdcPipeline:
                 applied.append(f"rename_column {d['old']}->{d['new']}")
         return applied
 
-    def _touched_buckets(self, batch: DataFrame) -> list[int]:
-        """Bucket set the batch touches, from RAW keys — no JSON decode for
-        the ~98% non-pku rows (the merge then computes the fold exactly once;
-        a PK update also touches its old key, so those payloads — and only
-        those — are decoded for ``before_key``)."""
-        from ..lake import bucket_expr
-        from ..operators.decode import PAYLOAD_SCHEMA
-
-        nb = self.table.n_buckets
-        main = batch.where(F.col("op").isin(*DML_OPS, "pku")).select(
-            bucket_expr(nb, ("repo", "path")).alias("bucket")
-        )
-        old_keys = (
-            batch.where(F.col("op") == "pku")
-            .select(F.from_json("payload", PAYLOAD_SCHEMA)["before_key"].alias("bk"))
-            .select(bucket_expr(nb, ("bk.repo", "bk.path")).alias("bucket"))
-        )
-        rows = main.unionByName(old_keys).distinct().collect()
-        return [int(r["bucket"]) for r in rows]
-
     # ------------------------------------------------------------------
-    def _apply(self, batch: DataFrame, batch_id: str) -> BatchResult:
-        """One sub-batch through the full operator chain. Two passes over
-        the (pruned) batch per sub-batch: one offsets+count aggregation, one
-        decode→fold→MERGE; plus one metrics pass when lineage is enabled."""
+    def _apply(self, batch: DataFrame, batch_id: str, stats: dict) -> BatchResult:
+        """One sub-batch through the full operator chain — a single Spark
+        job (decode→fold→MERGE write); offsets/counts/buckets came from the
+        window-level stats pass. Metrics add one extra pass when enabled."""
         batch = resume_filter(batch, self.ckpt.load())
-        cached = self.metrics is not None
-        if cached:
-            batch = batch.cache()
-        try:
-            # one aggregation pass gives both the ack offsets and the batch
-            # cardinality (collected: O(#tablets) rows, no extra jobs)
-            offsets = batch_offsets(batch).collect()
-            n_input = sum(r["n"] for r in offsets)
-            if self.metrics is not None:
-                self.metrics.append(batch_metrics(batch, batch_id))
-
-            disp = filters.dispatchable(
-                filters.table_filter(batch, self.table_include, self.table_exclude)
-            )
-            disp = filters.skipped_operations_filter(disp, self.skipped_ops)
-            decoded = decode_envelope(
-                disp.where(F.col("op").isin(*DML_OPS, "pku")),
-                use_pandas=self.use_pandas_decode,
-            )
-            dml = split_pk_updates(decoded)
-            cols = [n for n, _ in self.table.columns]
-            folded = fold_changes(dml, columns=cols)
-            stats = self.table.merge(
-                folded, batch_id, touched_buckets=self._touched_buckets(batch)
-            )
-            n_dispatched = stats.upserted + stats.deleted
-            warn_wal_backlog(n_input - n_dispatched, n_dispatched)
-            return BatchResult(batch_id, n_input, n_dispatched, stats, offsets=offsets)
-        finally:
-            if cached:
-                batch.unpersist()
+        if self.metrics is not None:
+            self.metrics.append(batch_metrics(batch, batch_id))
+        disp = filters.dispatchable(
+            filters.table_filter(batch, self.table_include, self.table_exclude)
+        )
+        disp = filters.skipped_operations_filter(disp, self.skipped_ops)
+        decoded = decode_envelope(
+            disp.where(F.col("op").isin(*DML_OPS, "pku")),
+            use_pandas=self.use_pandas_decode,
+        )
+        dml = split_pk_updates(decoded)
+        cols = [n for n, _ in self.table.columns]
+        folded = fold_changes(dml, columns=cols)
+        mstats = self.table.merge(folded, batch_id, touched_buckets=stats["buckets"])
+        n_dispatched = mstats.upserted + mstats.deleted
+        warn_wal_backlog(stats["n_input"] - n_dispatched, n_dispatched)
+        return BatchResult(batch_id, stats["n_input"], n_dispatched, mstats)
