@@ -222,6 +222,9 @@ def generate_events(
         # PK updates carry the old key top-level too (record-key block):
         # planners can find touched keys without opening the payload blob
         .withColumn(
+            "old_repo", F.when(F.col("op") == "pku", F.col("repo"))
+        )
+        .withColumn(
             "old_path", F.when(F.col("op") == "pku", old_path)
         )
     )
@@ -239,6 +242,7 @@ def generate_events(
         "op",
         "repo",
         "path",
+        "old_repo",
         "old_path",
         "schema_version",
         "payload",

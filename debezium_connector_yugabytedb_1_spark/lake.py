@@ -263,13 +263,51 @@ class LakeTable:
             "bucket", bucket_expr(self.n_buckets, self.key_cols)
         )
 
-        cond = F.lit(True)
-        for k in key:
-            cond = cond & (t[k] == s[k])
-        j = t.alias("t").join(s.alias("s"), cond, "full_outer")
+        # MERGE as a union + ONE bucket-aligned aggregation instead of a
+        # full-outer join. Both sides are tagged into nullable structs and
+        # shuffled ONCE on `bucket`; the per-key combine is then a hash
+        # aggregate that needs NO further exchange, because
+        # HashPartitioning(bucket) already clusters every (bucket, repo,
+        # path) group (bucket is a subset of the grouping keys, and a pure
+        # function of the key). Compared to the join formulation this drops
+        # the target-side exchange, both sort-merge sorts, and the output
+        # repartition — per-batch fixed cost is what the N→4N scaling
+        # efficiency criterion punishes (Amdahl). The aggregated output is
+        # still hash-partitioned on bucket, so partitionBy write emits ~one
+        # file per touched bucket with no extra shuffle.
+        s_side = s.select(
+            *key,
+            "bucket",
+            F.struct(
+                F.col("exists"),
+                F.col("had_delete"),
+                F.col("last_offset"),
+                *[F.col(f"{c}_val") for c in cols],
+                *[F.col(f"{c}_set") for c in cols],
+            ).alias("_s"),
+        )
+        t_side = t.select(
+            *key,
+            "bucket",
+            F.struct(
+                *[F.col(c) for c in cols],
+                F.col("_last_term"),
+                F.col("_last_index"),
+                F.col("_last_write_id"),
+                F.col("content_sha256"),
+            ).alias("_t"),
+        )
+        j = (
+            s_side.unionByName(t_side, allowMissingColumns=True)
+            .repartition(len(touched) or 1, "bucket")
+            .groupBy("bucket", *key)
+            # at most one row per tag per key (target keys are unique, the
+            # fold emits one row per key) — max() just picks the non-null
+            .agg(F.max("_s").alias("s"), F.max("_t").alias("t"))
+        )
 
-        s_here = F.col("s.exists").isNotNull()
-        t_here = F.col("t._last_index").isNotNull()
+        s_here = F.col("s").isNotNull()
+        t_here = F.col("t").isNotNull()
         t_off = F.struct(
             F.col("t._last_term").alias("term"),
             F.col("t._last_index").alias("index"),
@@ -282,61 +320,64 @@ class LakeTable:
             .when(~guard, t_here)
             .otherwise(F.col("s.exists"))
         )
-        out_cols = [F.coalesce(F.col(f"s.{k}"), F.col(f"t.{k}")).alias(k) for k in key]
+        from_target = ~s_here | ~guard  # row image untouched by this batch
+        out_cols = [F.col("bucket")] + [F.col(k) for k in key]
         for c in cols:
             out_cols.append(
-                F.when(~s_here | ~guard, F.col(f"t.{c}"))
+                F.when(from_target, F.col(f"t.{c}"))
                 .when(F.col(f"s.{c}_set"), F.col(f"s.{c}_val"))
                 .when(F.col("s.had_delete"), F.lit(None))
                 .otherwise(F.col(f"t.{c}"))
                 .alias(c)
             )
-        new_off = F.when(~s_here | ~guard, t_off).otherwise(F.col("s.last_offset"))
+        new_off = F.when(from_target, t_off).otherwise(F.col("s.last_offset"))
         out_cols += [
             new_off["term"].alias("_last_term"),
             new_off["index"].alias("_last_index"),
             new_off["write_id"].alias("_last_write_id"),
         ]
-
-        obs = Observation(f"merge-{batch_id}")
-        merged = (
-            j.observe(
-                obs,
-                F.sum((s_here & guard & F.col("s.exists")).cast("long")).alias("upserted"),
-                F.sum((s_here & guard & t_here & ~F.col("s.exists")).cast("long")).alias(
-                    "deleted"
-                ),
-                F.sum((t_here & (~s_here | ~guard)).cast("long")).alias("carried"),
-            )
-            .where(keep)
-            .select(*out_cols)
-        )
-        # per-row invariant column (BASELINE input_hint): sha256 of content
+        # per-row invariant column (BASELINE input_hint): sha256 of content.
+        # Re-hash ONLY rows whose content this batch changed; carried rows
+        # reuse the stored digest (at scale carried >> changed, and sha256
+        # over every carried content would re-pay the whole bucket each
+        # batch).
         if "content" in cols:
-            merged = merged.withColumn("content_sha256", F.sha2(F.col("content"), 256))
+            content_from_t = from_target | (
+                ~F.col("s.content_set") & ~F.col("s.had_delete")
+            )
+            out_cols.append(
+                F.when(content_from_t, F.col("t.content_sha256"))
+                .otherwise(
+                    F.sha2(F.when(F.col("s.content_set"), F.col("s.content_val")), 256)
+                )
+                .alias("content_sha256")
+            )
         else:
-            merged = merged.withColumn("content_sha256", F.lit(None).cast("string"))
-        merged = merged.withColumn("bucket", bucket_expr(self.n_buckets, self.key_cols))
+            out_cols.append(F.lit(None).cast("string").alias("content_sha256"))
+
+        stats_exprs = [
+            F.sum((s_here & guard & F.col("s.exists")).cast("long")).alias("upserted"),
+            F.sum((s_here & guard & t_here & ~F.col("s.exists")).cast("long")).alias(
+                "deleted"
+            ),
+            F.sum((t_here & ~(s_here & guard)).cast("long")).alias("carried"),
+        ]
+        obs = Observation(f"merge-{batch_id}")
+        merged = j.observe(obs, *stats_exprs).where(keep).select(*out_cols)
 
         version = m["version"] + 1
         rel = f"data/v{version:08d}"
         out = os.path.join(self.path, rel)
-        # one shuffle on the partition key → exactly one file per touched
-        # bucket (without this, every task writes a file per bucket it sees:
-        # tasks x buckets small files, which poisons every later target read)
-        merged.repartition(len(touched) or 1, "bucket").write.partitionBy(
-            "bucket"
-        ).mode("overwrite").parquet(out)
+        merged.write.partitionBy("bucket").mode("overwrite").parquet(out)
 
         try:
             row = dict(obs.get)
         except Exception:
             # AQE's empty-relation propagation can eliminate the observe node
-            # when the merged result is empty; recompute stats from the
-            # (small) folded batch instead.
-            up = folded.where(F.col("exists")).count()
-            dl = folded.where(~F.col("exists") & F.col("had_delete")).count()
-            row = {"upserted": up, "deleted": dl, "carried": 0}
+            # when the merged result is empty; recompute the SAME guarded
+            # stats with an explicit (tiny) aggregation job so redelivered /
+            # stale batches are not over-counted.
+            row = j.agg(*stats_exprs).collect()[0].asDict()
 
         written = self._written_buckets(out, rel)
         stray = set(written) - {str(b) for b in touched}

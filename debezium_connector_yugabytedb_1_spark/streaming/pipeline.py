@@ -174,7 +174,14 @@ class CdcPipeline:
         # payload column stays on disk (DDL payloads, if any, are fetched by
         # a targeted point lookup below; DDLs are rare by construction)
         if "old_path" in window.columns:
-            old_key_hash = F.xxhash64("repo", "old_path")
+            # a cross-repo PK update carries old_repo in the key block; when
+            # absent (same-repo rename, or legacy corpus) the repo is shared
+            old_repo = (
+                F.coalesce(F.col("old_repo"), F.col("repo"))
+                if "old_repo" in window.columns
+                else F.col("repo")
+            )
+            old_key_hash = F.xxhash64(old_repo, F.col("old_path"))
         else:  # legacy corpus without the key block: regexp the payload
             old_key_hash = F.xxhash64(
                 F.regexp_extract("payload", r'"before_key":\{"repo":"([^"]*)"', 1),
@@ -185,15 +192,18 @@ class CdcPipeline:
         bucket_old = F.when(
             F.col("op") == "pku", F.pmod(old_key_hash, F.lit(nb))
         )
+        # collect_set of a scalar bucket id is map-side combinable and its
+        # buffer is bounded by n_buckets (~16) — NOT one entry per event.
+        # (collect_list of per-event arrays buffered one element per event
+        # per tablet before array_distinct: an executor-memory blowup on a
+        # hot tablet at 10^8-event windows.)
         rows = (
             window.groupBy("tablet_id")
             .agg(
                 F.max(offset_struct()).alias("o"),
                 F.count(F.lit(1)).alias("n"),
-                F.array_distinct(
-                    F.array_compact(
-                        F.flatten(F.collect_list(F.array(bucket_main, bucket_old)))
-                    )
+                F.array_union(
+                    F.collect_set(bucket_main), F.collect_set(bucket_old)
                 ).alias("buckets"),
                 F.array_compact(
                     F.collect_list(F.when(F.col("op") == "ddl", F.col("index")))
