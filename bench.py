@@ -55,7 +55,7 @@ def sf_of(path: str) -> float:
 
 
 SEGMENT_SIZE = 250_000
-CORPUS_VER = "v3"  # bump when the wire schema changes (invalidates /tmp cache)
+CORPUS_VER = "v5"  # bump when the wire schema changes (invalidates /tmp cache)
 
 
 def corpus_path(n_events: int) -> str:
@@ -66,7 +66,11 @@ def ensure_corpus(spark, n_events: int) -> str:
     from debezium_connector_yugabytedb_1_spark.generator import generate_events, write_events
 
     path = corpus_path(n_events)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    # partitionBy writes leave no _SUCCESS at the root — use our own marker,
+    # else every run regenerates the corpus and measures the replay against
+    # the generation's page-cache writeback
+    marker = os.path.join(path, "_ybcdc_corpus_ready")
+    if not os.path.exists(marker):
         ev = generate_events(
             spark,
             n_events,
@@ -77,6 +81,9 @@ def ensure_corpus(spark, n_events: int) -> str:
             num_partitions=64,  # fixed: corpus identical at every core count
         )
         write_events(ev, path, segment_size=SEGMENT_SIZE)
+        open(marker, "w").close()
+        os.sync()  # settle writeback before anything is measured
+        time.sleep(3)
     return path
 
 

@@ -234,6 +234,221 @@ class LakeTable:
         return removed
 
     # ---------------- MERGE (K1) ----------------
+    def merge_events(
+        self, dml: DataFrame, batch_id: str, touched_buckets: list[int] | None = None
+    ) -> MergeStats:
+        """Fused fold + MERGE — the pipeline hot path.
+
+        The LWW fold is associative: the target's current row image IS the
+        fold of every prior event, so merging a batch is just *one more
+        fold* over (batch events ∪ target rows re-encoded as READ events at
+        their stored offsets). That collapses the whole batch apply into a
+        single aggregation job:
+
+            scan events + scan touched target buckets (union, map side)
+              → repartition by key (ONE raw shuffle; no map-side partial
+                agg — the WAL arrives in shuffled key order, so partial
+                aggregation was measured to reduce rows <20% while paying
+                a full extra sort)
+              → complete-mode fold per key (delete barriers, per-column
+                LWW, monotonic guard all fall out of offset comparison —
+                stale/redelivered events simply lose the max())
+              → tiny exchange on bucket → one file per touched bucket.
+
+        vs. the fold→merge pipeline this removes one aggregation, one
+        exchange, and one sort — per-batch fixed cost is what caps N→4N
+        scaling efficiency (Amdahl).
+
+        ``content_sha256`` (the per-row invariant) rides along as a column
+        only target rows set; it is reused verbatim whenever the winning
+        content offset is the target's, so only genuinely changed rows are
+        re-hashed.
+
+        Reference parity: same semantics as ``merge()`` (guard
+        ``YugabyteDBStreamingChangeEventSource.java:976-986``, redelivery
+        absorption ``YugabyteDBSnapshotResumeTest.java:120-133``), verified
+        equal by ``test_merge_events_equals_fold_then_merge``."""
+        m = self.manifest()
+        if batch_id in m["applied_batches"]:
+            return MergeStats(version=m["version"], skipped=True)
+        cols = [n for n, _ in m["columns"]]
+        key = list(self.key_cols)
+        from .operators.decode import cell_set  # local import to avoid a cycle
+
+        # bucket + a key-salt computed map-side: shuffling on (bucket, salt)
+        # lets the fold aggregation AND the bucketed write share ONE
+        # exchange — each reduce partition holds whole (bucket, salt) units,
+        # so partitionBy("bucket") emits at most `salt_width` files per
+        # bucket with no post-agg repartition (and no third stage).
+        salt_width = max(
+            1,
+            -(-2 * self.spark.sparkContext.defaultParallelism // self.n_buckets),
+        )
+        bkt = bucket_expr(self.n_buckets, self.key_cols)
+        salt = F.pmod(F.xxhash64(*self.key_cols, F.lit(7)), F.lit(salt_width))
+        ev = dml.select(
+            *key,
+            bkt.alias("bucket"),
+            salt.alias("_salt"),
+            "op",
+            "term",
+            "index",
+            "write_id",
+            *[F.col(f"after.{c}").alias(f"_v_{c}") for c in cols],
+            *[cell_set(c).alias(f"_set_{c}") for c in cols],
+        )
+        if touched_buckets is None:
+            touched = [r["bucket"] for r in ev.select("bucket").distinct().collect()]
+        else:
+            touched = [int(b) for b in touched_buckets]
+        t = self.read(buckets=touched, with_meta=True)
+        tev = t.select(
+            *key,
+            bkt.alias("bucket"),
+            salt.alias("_salt"),
+            F.lit("r").alias("op"),
+            F.col("_last_term").alias("term"),
+            F.col("_last_index").alias("index"),
+            F.col("_last_write_id").alias("write_id"),
+            *[F.col(c).alias(f"_v_{c}") for c in cols],
+            *[F.lit(True).alias(f"_set_{c}") for c in cols],
+            F.col("content_sha256").alias("_sha"),
+            F.lit(True).alias("_is_target"),
+        )
+        u = ev.unionByName(tev, allowMissingColumns=True)
+
+        off = F.struct(
+            F.col("term").alias("term"),
+            F.col("index").alias("index"),
+            F.col("write_id").alias("write_id"),
+        )
+        is_del = F.col("op").isin("d", "t")
+        is_up = F.col("op").isin("c", "r", "u")
+        is_target = F.col("_is_target").isNotNull() & F.col("_is_target")
+        aggs = [
+            F.max(F.when(is_del, off)).alias("_last_del"),
+            F.max(F.when(is_up, off)).alias("_last_up"),
+            F.max(off).alias("_last_off"),
+            F.max(F.when(is_target, off)).alias("_t_off"),
+            F.max(F.when(~is_target, off)).alias("_s_off"),
+            F.max(
+                F.when(is_target, F.struct(off.alias("off"), F.col("_sha").alias("v")))
+            ).alias("_m_sha"),
+        ]
+        for c in cols:
+            aggs.append(
+                F.max(
+                    F.when(
+                        is_up & F.col(f"_set_{c}"),
+                        F.struct(off.alias("off"), F.col(f"_v_{c}").alias("v")),
+                    )
+                ).alias(f"_m_{c}")
+            )
+        g = (
+            u.repartition(self.n_buckets * salt_width, "bucket", "_salt")
+            .groupBy("bucket", "_salt", *key)
+            .agg(*aggs)
+        )
+
+        neg = F.struct(
+            F.lit(-2).cast("long").alias("term"),
+            F.lit(-2).cast("long").alias("index"),
+            F.lit(-2).cast("long").alias("write_id"),
+        )
+        del_floor = F.coalesce(F.col("_last_del"), neg)
+        exists = F.col("_last_up").isNotNull() & (
+            F.coalesce(F.col("_last_up"), neg) > del_floor
+        )
+        t_here = F.col("_t_off").isNotNull()
+        newer = F.col("_s_off").isNotNull() & (
+            ~t_here | (F.col("_s_off") > F.col("_t_off"))
+        )
+        stats_exprs = [
+            F.sum((newer & exists).cast("long")).alias("upserted"),
+            F.sum((newer & t_here & ~exists).cast("long")).alias("deleted"),
+            F.sum((t_here & ~newer).cast("long")).alias("carried"),
+        ]
+
+        def live(c):
+            mc = F.col(f"_m_{c}")
+            return mc.isNotNull() & (mc["off"] > del_floor)
+
+        out_cols = [F.col("bucket")] + [F.col(k) for k in key]
+        for c in cols:
+            out_cols.append(F.when(live(c), F.col(f"_m_{c}")["v"]).alias(c))
+        out_cols += [
+            F.col("_last_off")["term"].alias("_last_term"),
+            F.col("_last_off")["index"].alias("_last_index"),
+            F.col("_last_off")["write_id"].alias("_last_write_id"),
+        ]
+        if "content" in cols:
+            mc, ms = F.col("_m_content"), F.col("_m_sha")
+            content_final = F.when(live("content"), mc["v"])
+            out_cols.append(
+                F.when(
+                    live("content") & ms.isNotNull() & (ms["off"] == mc["off"]),
+                    ms["v"],
+                )
+                .otherwise(F.sha2(content_final, 256))
+                .alias("content_sha256")
+            )
+        else:
+            out_cols.append(F.lit(None).cast("string").alias("content_sha256"))
+
+        obs = Observation(f"merge-{batch_id}")
+        merged = g.observe(obs, *stats_exprs).where(exists).select(*out_cols)
+        return self._commit_data(merged, obs, lambda: g.agg(*stats_exprs), m, touched, batch_id)
+
+    def _commit_data(
+        self, merged: DataFrame, obs: Observation, fallback_stats, m: dict,
+        touched: list[int], batch_id: str,
+    ) -> MergeStats:
+        """Write the merged images as version v+1, resolve the observed
+        stats, and commit the manifest (pointer swap = the commit point)."""
+        version = m["version"] + 1
+        rel = f"data/v{version:08d}"
+        out = os.path.join(self.path, rel)
+        import time
+
+        prof = os.environ.get("SPARK_GRAFT_PROFILE") == "1"
+        t0 = time.monotonic()
+        merged.write.partitionBy("bucket").mode("overwrite").parquet(out)
+        if prof:
+            print(f"[profile] merge_write_job: {time.monotonic() - t0:.3f}s", flush=True)
+
+        try:
+            row = dict(obs.get)
+        except Exception:
+            # AQE's empty-relation propagation can eliminate the observe node
+            # when the input is empty; recompute the SAME guarded stats with
+            # an explicit (tiny) aggregation job so redelivered / stale
+            # batches are not over-counted.
+            row = fallback_stats().collect()[0].asDict()
+
+        written = self._written_buckets(out, rel)
+        stray = set(written) - {str(b) for b in touched}
+        if stray:
+            # a caller-supplied bucket set that misses batch rows would drop
+            # the unread target rows of those buckets — refuse loudly
+            raise ValueError(
+                f"merge wrote buckets {sorted(stray)} not in touched_buckets; "
+                "caller passed an incomplete bucket set"
+            )
+        buckets = dict(m["buckets"])
+        for b in map(str, touched):
+            buckets.pop(b, None)
+        buckets.update(written)
+        m["version"] = version
+        m["buckets"] = buckets
+        m["applied_batches"] = (m["applied_batches"] + [batch_id])[-1000:]
+        self._commit_manifest(m)
+        return MergeStats(
+            version=version,
+            upserted=int(row["upserted"] or 0),
+            deleted=int(row["deleted"] or 0),
+            carried=int(row["carried"] or 0),
+        )
+
     def merge(
         self, folded: DataFrame, batch_id: str, touched_buckets: list[int] | None = None
     ) -> MergeStats:
@@ -364,41 +579,4 @@ class LakeTable:
         ]
         obs = Observation(f"merge-{batch_id}")
         merged = j.observe(obs, *stats_exprs).where(keep).select(*out_cols)
-
-        version = m["version"] + 1
-        rel = f"data/v{version:08d}"
-        out = os.path.join(self.path, rel)
-        merged.write.partitionBy("bucket").mode("overwrite").parquet(out)
-
-        try:
-            row = dict(obs.get)
-        except Exception:
-            # AQE's empty-relation propagation can eliminate the observe node
-            # when the merged result is empty; recompute the SAME guarded
-            # stats with an explicit (tiny) aggregation job so redelivered /
-            # stale batches are not over-counted.
-            row = j.agg(*stats_exprs).collect()[0].asDict()
-
-        written = self._written_buckets(out, rel)
-        stray = set(written) - {str(b) for b in touched}
-        if stray:
-            # a caller-supplied bucket set that misses batch rows would drop
-            # the unread target rows of those buckets — refuse loudly
-            raise ValueError(
-                f"merge wrote buckets {sorted(stray)} not in touched_buckets; "
-                "caller passed an incomplete bucket set"
-            )
-        buckets = dict(m["buckets"])
-        for b in map(str, touched):
-            buckets.pop(b, None)
-        buckets.update(written)
-        m["version"] = version
-        m["buckets"] = buckets
-        m["applied_batches"] = (m["applied_batches"] + [batch_id])[-1000:]
-        self._commit_manifest(m)
-        return MergeStats(
-            version=version,
-            upserted=int(row["upserted"] or 0),
-            deleted=int(row["deleted"] or 0),
-            carried=int(row["carried"] or 0),
-        )
+        return self._commit_data(merged, obs, lambda: j.agg(*stats_exprs), m, touched, batch_id)

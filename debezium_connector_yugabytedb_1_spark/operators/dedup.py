@@ -19,11 +19,8 @@ Scale notes (the whole point of each design):
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from ..functions import word_shingles
 
@@ -203,41 +200,84 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # verify candidates with exact Jaccard (join back to shingle sets)
-    exact = ngram_jaccard_pairs(docs, text_col, k, threshold, max_df)
-    return cand.join(exact, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "inter", "na", "nb")
+    # Verify ONLY the candidate pairs: join each side to its per-doc shingle
+    # set and compute the exact Jaccard expression-side. This is what makes
+    # LSH the linear-cost path — the old all-pairs exact recomputation would
+    # have discarded LSH's entire advantage. Shingle arrays are bounded by
+    # doc length (per-doc state, never per-corpus), and the same ``max_df``
+    # cap as ``ngram_jaccard_pairs`` keeps the shingle space identical, so
+    # LSH pairs are a strict subset of the exact pairs at equal thresholds.
+    sets = (
+        shingle_index(docs, text_col, k, max_df)
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("sh"))
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    na, nb = F.size("sh_a"), F.size("sh_b")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b", inter.alias("inter"), na.alias("na"), nb.alias("nb")
+        )
+        .where(
+            F.col("inter") * F.lit(1.0)
+            >= F.lit(threshold) * (F.col("na") + F.col("nb") - F.col("inter"))
+        )
+    )
 
 
 # ---------------------------------------------------------------- simhash
-@F.pandas_udf(T.LongType())
-def _simhash64(text: pd.Series) -> pd.Series:
-    """64-bit SimHash over whitespace tokens — vectorized numpy bit
-    accumulation per Arrow batch (no per-row Python beyond the tokenizer)."""
-    out = np.zeros(len(text), dtype=np.int64)
-    for i, t in enumerate(text):
-        if not t:
-            continue
-        toks = t.lower().split()
-        if not toks:
-            continue
-        hs = np.array(
-            [int.from_bytes(__import__("hashlib").md5(w.encode()).digest()[:8], "little")
-             for w in toks],
-            dtype=np.uint64,
+def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per doc — entirely JVM, no Python in the hot path:
+    tokens exploded once, hashed with ``xxhash64``, and the 64 per-bit
+    vote counters are plain ``sum`` aggregates (fixed-width longs → hash
+    aggregation with map-side combine; shuffle volume is one 64-long row
+    per doc per input partition, never per token). The signature long is
+    assembled expression-side from the vote signs.
+
+    Output: (doc_id, simhash:long). Docs with no tokens produce no row."""
+    from functools import reduce
+
+    toks = (
+        _spread(docs)
+        .select(
+            "doc_id",
+            F.explode(
+                F.split(
+                    F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")),
+                    " ",
+                )
+            ).alias("tok"),
         )
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
-        v = (bits * 2 - 1).sum(axis=0)
-        sig = np.uint64(0)
-        for bpos in np.nonzero(v > 0)[0]:
-            sig |= np.uint64(1) << np.uint64(bpos)
-        out[i] = np.int64(sig.astype(np.int64))
-    return pd.Series(out)
+        .where(F.col("tok") != "")
+    )
+    h = F.xxhash64("tok")
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(64)
+        ]
+    )
+    one = F.lit(1).cast("long")
+    sig = reduce(
+        lambda acc, j: acc.bitwiseOR(
+            F.when(F.col(f"b{j}") > 0, F.shiftleft(one, j)).otherwise(F.lit(0).cast("long"))
+        ),
+        range(64),
+        F.lit(0).cast("long"),
+    )
+    return votes.select("doc_id", sig.alias("simhash"))
 
 
 def simhash_pairs(docs: DataFrame, text_col: str = "text", prefix_bits: int = 16) -> DataFrame:
     """SimHash near-dup candidates: docs sharing any of the 4 16-bit band
     prefixes of their 64-bit signature (Hamming-ball blocking)."""
-    sig = _spread(docs).select("doc_id", _simhash64(F.col(text_col)).alias("simhash"))
+    sig = simhash_signatures(docs, text_col)
     bands = []
     for i in range(4):
         bands.append(

@@ -68,10 +68,16 @@ def lsh_signatures(
     n_planes: int = 16,
     n_tables: int = 4,
     seed: int = 7,
+    dim: int | None = None,
 ) -> DataFrame:
     """Random-hyperplane signatures: one (id, table, bucket) row per table.
-    mapInPandas with matrix multiply per Arrow batch — vectorized."""
-    dim = len(df.select(vec_col).first()[0])
+    mapInPandas with matrix multiply per Arrow batch — vectorized.
+
+    Pass ``dim`` when known: inferring it costs a driver-side ``first()``
+    action in the plan-build path (acceptable interactively, not in a
+    pipeline)."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     planes = [_planes(n_planes, dim, t, seed) for t in range(n_tables)]
     n_t = n_tables
 
@@ -102,13 +108,16 @@ def lsh_topk(
     vec_col: str = "embedding",
     n_planes: int = 12,
     n_tables: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates = bucket collisions in any table, then
     exact cosine re-rank of candidates only."""
-    sig_c = lsh_signatures(corpus, vec_col, id_col, n_planes, n_tables)
-    sig_q = lsh_signatures(queries, vec_col, id_col, n_planes, n_tables).withColumnRenamed(
-        "vec_id", "query_id"
-    )
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    sig_c = lsh_signatures(corpus, vec_col, id_col, n_planes, n_tables, dim=dim)
+    sig_q = lsh_signatures(
+        queries, vec_col, id_col, n_planes, n_tables, dim=dim
+    ).withColumnRenamed("vec_id", "query_id")
     cand = (
         sig_q.join(sig_c, ["table", "bucket"])
         .where(F.col("query_id") != F.col("vec_id"))
@@ -137,10 +146,11 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     n_planes: int = 12,
     n_tables: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b) via LSH candidates +
     exact verify."""
-    sig = lsh_signatures(df, vec_col, id_col, n_planes, n_tables)
+    sig = lsh_signatures(df, vec_col, id_col, n_planes, n_tables, dim=dim)
     a, b = sig.alias("a"), sig.alias("b")
     cand = (
         a.join(

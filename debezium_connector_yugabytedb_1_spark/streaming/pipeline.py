@@ -44,7 +44,6 @@ from ..operators.checkpoint import CheckpointStore, resume_filter
 from ..operators.decode import decode_envelope
 from ..operators.emit import DML_OPS, split_pk_updates
 from ..operators.metrics import MetricsSink, batch_metrics, warn_wal_backlog
-from ..operators.order import fold_changes
 
 
 @dataclass
@@ -130,6 +129,15 @@ class CdcPipeline:
             w = self._window(events, wlo, whi)
             return pool.submit(self._window_stats, w), w
 
+        import os
+        import time
+
+        prof = os.environ.get("SPARK_GRAFT_PROFILE") == "1"
+
+        def _t(label, t0):
+            if prof:
+                print(f"[profile] {label}: {time.monotonic() - t0:.3f}s", flush=True)
+
         with ThreadPoolExecutor(max_workers=1) as pool:
             fut = None
             window = None
@@ -137,15 +145,21 @@ class CdcPipeline:
                 hi = lo + self.events_per_batch
                 if fut is None:
                     fut, window = submit(pool, lo, hi)
+                t0 = time.monotonic()
                 stats = fut.result()
+                _t("stats_wait", t0)
                 nxt_lo, nxt_hi = hi, hi + self.events_per_batch
                 if nxt_lo <= max_index and (max_batches is None or n + 1 < max_batches):
                     nxt_fut, nxt_window = submit(pool, nxt_lo, nxt_hi)
                 else:
                     nxt_fut, nxt_window = None, None
+                t0 = time.monotonic()
                 results.extend(self._process_window(window, lo, hi, stats))
+                _t("process_window", t0)
                 # offsets were part of the single stats pass; commit + advance
+                t0 = time.monotonic()
                 self.ckpt.commit(stats["offsets"], meta={"next_lo": hi})
+                _t("ckpt_commit", t0)
                 fut, window = nxt_fut, nxt_window
                 lo = hi
                 n += 1
@@ -288,9 +302,8 @@ class CdcPipeline:
             use_pandas=self.use_pandas_decode,
         )
         dml = split_pk_updates(decoded)
-        cols = [n for n, _ in self.table.columns]
-        folded = fold_changes(dml, columns=cols)
-        mstats = self.table.merge(folded, batch_id, touched_buckets=stats["buckets"])
+        # fused fold+MERGE: one aggregation job does the whole apply
+        mstats = self.table.merge_events(dml, batch_id, touched_buckets=stats["buckets"])
         n_dispatched = mstats.upserted + mstats.deleted
         warn_wal_backlog(stats["n_input"] - n_dispatched, n_dispatched)
         return BatchResult(batch_id, stats["n_input"], n_dispatched, mstats)

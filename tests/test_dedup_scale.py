@@ -1,0 +1,100 @@
+"""Scale-path correctness for the dedup operators: MinHash-LSH verify is
+candidate-only yet exact (subset of the exhaustive pairs, high recall on
+genuine near-dupes), and SimHash is pure JVM (no Python node in the plan)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from debezium_connector_yugabytedb_1_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    simhash_signatures,
+)
+
+_WORDS = [
+    "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+    "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+]
+
+
+def _seeded_docs(spark, n_base=40, words_per_doc=30):
+    """Deterministic corpus: n_base originals + a near-dup of each (one word
+    in words_per_doc changed → shingle Jaccard well above 0.5)."""
+    rows = []
+    for i in range(n_base):
+        toks = [_WORDS[(i * 7 + j * 3) % len(_WORDS)] + str((i + j * 5) % 97)
+                for j in range(words_per_doc)]
+        rows.append((i * 2, " ".join(toks)))
+        near = list(toks)
+        near[words_per_doc // 2] = "CHANGED" + str(i)
+        rows.append((i * 2 + 1, " ".join(near)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_lsh_subset_of_exact(spark):
+    docs = _seeded_docs(spark)
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(docs, k=3, threshold=0.5, max_df=64).collect()
+    }
+    lsh_rows = minhash_lsh_pairs(docs, k=3, threshold=0.5, max_df=64).collect()
+    lsh = {(r["doc_a"], r["doc_b"]) for r in lsh_rows}
+    assert lsh <= exact, "verified LSH pairs must be a subset of exact pairs"
+    # verify stats match the exact pass for the shared pairs
+    ex_by_pair = {
+        (r["doc_a"], r["doc_b"]): (r["inter"], r["na"], r["nb"])
+        for r in ngram_jaccard_pairs(docs, k=3, threshold=0.5, max_df=64).collect()
+    }
+    for r in lsh_rows:
+        assert (r["inter"], r["na"], r["nb"]) == ex_by_pair[(r["doc_a"], r["doc_b"])]
+    # recall: every seeded near-dup pair (2i, 2i+1) has J >= ~0.8; with
+    # 8 bands x 4 rows the S-curve detection prob at J=0.8 is ~0.985 per
+    # pair, so demand >= 90% of the exact seeded pairs
+    seeded = {p for p in exact if p[1] == p[0] + 1 and p[0] % 2 == 0}
+    found = len(seeded & lsh)
+    assert found >= 0.9 * len(seeded)
+    assert len(seeded) >= 30  # the corpus actually seeds near-dupes
+
+
+def test_minhash_verify_plan_has_no_full_pair_generation(spark):
+    """The verify step must not invoke the all-pairs exact computation: its
+    plan joins candidates to per-doc shingle sets (array_intersect), so the
+    pair-generation slice/transform expression of ngram_jaccard_pairs must
+    be absent."""
+    docs = _seeded_docs(spark, n_base=4)
+    plan = minhash_lsh_pairs(docs, max_df=64)._jdf.queryExecution().toString()
+    assert "array_intersect" in plan
+    assert "slice(" not in plan  # the all-pairs posting-list expansion
+
+
+def test_simhash_pure_jvm_and_deterministic(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),  # identical
+            (3, "the quick brown fox leaps over the lazy dog"),  # near
+            (4, "completely different content about spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+    sig = simhash_signatures(docs)
+    plan = sig._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan
+    rows = {r["doc_id"]: r["simhash"] for r in sig.collect()}
+    assert rows[1] == rows[2]
+    ham = bin((rows[1] ^ rows[3]) & ((1 << 64) - 1)).count("1")
+    assert ham <= 16, f"near-identical docs should be close in Hamming space, got {ham}"
+    ham_far = bin((rows[1] ^ rows[4]) & ((1 << 64) - 1)).count("1")
+    assert ham_far > ham
+    pairs = {(r["doc_a"], r["doc_b"]) for r in simhash_pairs(docs).collect()}
+    assert (1, 2) in pairs
+
+
+def test_simhash_hash_aggregate_not_sort(spark):
+    """The 64 vote counters are fixed-width longs — the plan must use hash
+    aggregation (map-side combinable), not a sort-based fallback."""
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = simhash_signatures(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan
+    assert "SortAggregate" not in plan
