@@ -427,8 +427,110 @@ def q_multimodal_frame_counts(spark, sf_dir):
     )
 
 
+def q_cdc_typed_decode(spark, sf_dir):
+    """P2 — the widened value-conversion surface: synthesize wire datums
+    (the text/number forms a logical-decoding plugin emits) deterministically
+    from event ids, run every converter family, and emit hash-stable typed
+    outputs. Mirrors ``YugabyteDBValueConverter``'s OID dispatch: decimal
+    specials, ±infinity temporals, interval modes, money, hstore, enum,
+    uuid, bytea, bit/varbit, arrays, point, inet, ranges."""
+    from debezium_connector_yugabytedb_1_spark.functions import converters as C
+
+    i = F.col("event_id")
+    m = F.pmod(i, F.lit(10))
+    base = _events(spark, sf_dir).select("event_id").where(i < 2000)
+    dec_wire = (
+        F.when(m == 0, F.lit("NaN"))
+        .when(m == 1, F.lit("Infinity"))
+        .when(m == 2, F.lit("-Infinity"))
+        .otherwise(
+            F.concat(
+                i.cast("string"), F.lit("."),
+                F.lpad(F.pmod(i, F.lit(1000)).cast("string"), 3, "0"), F.lit("00"),
+            )
+        )
+    )
+    ts = F.timestamp_seconds(F.lit(1600000000) + i)
+    ts_wire = (
+        F.when(m == 3, F.lit("infinity"))
+        .when(m == 4, F.lit("-infinity"))
+        .otherwise(F.date_format(ts, "yyyy-MM-dd HH:mm:ss"))
+    )
+    tstz_wire = F.concat(F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss"), F.lit("+00:00"))
+    date_wire = (
+        F.when(m == 5, F.lit("infinity"))
+        .when(m == 6, F.lit("-infinity"))
+        .otherwise(F.date_format(F.date_add(F.lit("1970-01-01").cast("date"), i.cast("int")), "yyyy-MM-dd"))
+    )
+    time_wire = F.concat(
+        F.lpad(F.pmod(i, F.lit(24)).cast("string"), 2, "0"), F.lit(":"),
+        F.lpad(F.pmod(i, F.lit(60)).cast("string"), 2, "0"), F.lit(":"),
+        F.lpad(F.pmod(i * 7, F.lit(60)).cast("string"), 2, "0"),
+        F.when(F.pmod(i, F.lit(2)) == 1, F.lit(".25")).otherwise(F.lit("")),
+    )
+    iv_micros = i * 1000003 + F.pmod(i, F.lit(7))
+    hstore_wire = F.concat(
+        F.lit('"a"=>"'), i.cast("string"), F.lit('", "b"=>"x'), i.cast("string"), F.lit('"')
+    )
+    enum_wire = F.element_at(
+        F.array(F.lit("red"), F.lit("green"), F.lit("blue"), F.lit("bogus")),
+        (F.pmod(i, F.lit(4)) + 1).cast("int"),
+    )
+    uuid_wire = F.upper(F.md5(F.concat(F.lit("u"), i.cast("string"))))
+    bytea_wire = F.concat(F.lit("\\x"), F.upper(F.hex(F.concat(F.lit("v"), i.cast("string")))))
+    bit_wire = F.element_at(
+        F.array(F.lit("1"), F.lit("101"), F.lit("10110"), F.lit("11111111")),
+        (F.pmod(i, F.lit(4)) + 1).cast("int"),
+    )
+    varbit_wire = F.element_at(
+        F.array(F.lit("1"), F.lit("10100000"), F.lit("101"), F.lit("1111000011110000")),
+        (F.pmod(i, F.lit(4)) + 1).cast("int"),
+    )
+    arr_wire = F.concat(
+        F.lit("{"), i.cast("string"), F.lit(","), (i + 1).cast("string"),
+        F.lit(",NULL,"), (i * 2).cast("string"), F.lit("}"),
+    )
+    point_wire = F.concat(
+        F.lit("("), (i.cast("double") + 0.5).cast("string"), F.lit(","),
+        (-i.cast("double") - 0.25).cast("string"), F.lit(")"),
+    )
+    inet_wire = F.concat(F.lit(" FE80::"), F.pmod(i, F.lit(10)).cast("string"), F.lit(" "))
+    range_wire = F.concat(F.lit("["), i.cast("string"), F.lit(","), (i + 10).cast("string"), F.lit(")"))
+
+    arr = C.convert_array(arr_wire, "bigint")
+    pt = C.convert_point(point_wire)
+    return base.select(
+        i.alias("event_id"),
+        C.convert_decimal(dec_wire, mode="precise", scale=None).alias("dec_var"),
+        C.decimal_special_flag(dec_wire).alias("dec_special"),
+        F.when(m == 0, F.lit(None).cast("double"))
+        .otherwise(C.convert_decimal(dec_wire, mode="double"))
+        .alias("dec_double"),
+        C.convert_timestamp_micros(ts_wire).alias("ts_micros"),
+        C.convert_timestamptz_string(tstz_wire).alias("tstz_iso"),
+        C.convert_date_days(date_wire).cast("long").alias("date_days"),
+        C.convert_time_micros(time_wire).alias("time_micros"),
+        C.convert_interval(iv_micros, mode="numeric").alias("interval_micros"),
+        C.convert_interval(iv_micros, mode="string").alias("interval_iso"),
+        C.convert_money(i * 123 + 7).cast("string").alias("money_str"),
+        C.convert_hstore(hstore_wire, mode="json").alias("hstore_json"),
+        C.convert_enum(enum_wire, allowed=("red", "green", "blue")).alias("enum_val"),
+        C.convert_uuid(uuid_wire).alias("uuid_lc"),
+        C.convert_bytea(bytea_wire, mode="hex").alias("bytea_hex"),
+        C.convert_bit(bit_wire).cast("long").alias("bit_int"),
+        F.lower(F.hex(C.convert_varbit_bytes(varbit_wire))).alias("varbit_hex"),
+        F.array_join(F.transform(arr, lambda x: x.cast("string")), "|", "N").alias("arr_join"),
+        F.aggregate(arr, F.lit(0).cast("long"), lambda a, x: a + F.coalesce(x, F.lit(0).cast("long"))).alias("arr_sum"),
+        pt["x"].alias("px"),
+        pt["y"].alias("py"),
+        C.convert_inet(inet_wire).alias("inet_norm"),
+        C.convert_range(range_wire).alias("range_str"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "cdc_typed_decode": q_cdc_typed_decode,
         "cdc_lww_dedup": q_cdc_lww_dedup,
         "cdc_replay_state": q_cdc_replay_state,
         "cdc_checkpoint_max_merge": q_cdc_checkpoint_max_merge,
@@ -463,6 +565,46 @@ def oracle_sql() -> dict[str, str]:
     feed = f"SELECT *, {_OP_CASE_SQL} AS op, 't' || (user_id % 8) AS tablet_id FROM events"
     tok = "string_split_regex(lower(trim(text)), '\\s+')"
     return {
+        "cdc_typed_decode": """
+            WITH base AS (SELECT event_id AS i FROM events WHERE event_id < 2000)
+            SELECT i AS event_id,
+              CASE WHEN i % 10 IN (0, 1, 2) THEN NULL ELSE
+                rtrim(rtrim(i::VARCHAR || '.' || lpad((i % 1000)::VARCHAR, 3, '0') || '00', '0'), '.')
+              END AS dec_var,
+              CASE WHEN i % 10 = 0 THEN 'NaN' WHEN i % 10 = 1 THEN 'Infinity'
+                   WHEN i % 10 = 2 THEN '-Infinity' END AS dec_special,
+              CASE WHEN i % 10 = 0 THEN NULL
+                   WHEN i % 10 = 1 THEN 'Infinity'::DOUBLE
+                   WHEN i % 10 = 2 THEN '-Infinity'::DOUBLE
+                   ELSE (i::VARCHAR || '.' || lpad((i % 1000)::VARCHAR, 3, '0') || '00')::DOUBLE
+              END AS dec_double,
+              (CASE WHEN i % 10 = 3 THEN 9223372036825200000
+                   WHEN i % 10 = 4 THEN -9223372036832400000
+                   ELSE (1600000000 + i) * 1000000 END)::BIGINT AS ts_micros,
+              strftime(make_timestamp((1600000000 + i) * 1000000), '%Y-%m-%dT%H:%M:%S.%f') || 'Z' AS tstz_iso,
+              (CASE WHEN i % 10 = 5 THEN 106751991
+                   WHEN i % 10 = 6 THEN -106751991 ELSE i END)::BIGINT AS date_days,
+              ((i % 24) * 3600000000 + (i % 60) * 60000000 + ((i * 7) % 60) * 1000000
+               + (i % 2) * 250000)::BIGINT AS time_micros,
+              (i * 1000003 + i % 7)::BIGINT AS interval_micros,
+              'P0Y0M0DT0H0M' ||
+                rtrim(rtrim((((i * 1000003 + i % 7)::DECIMAL(38,6)) / 1000000)::DECIMAL(38,6)::VARCHAR, '0'), '.')
+                || 'S' AS interval_iso,
+              (((i * 123 + 7)::DECIMAL(38,2)) / 100)::DECIMAL(38,2)::VARCHAR AS money_str,
+              '{"a":"' || i || '","b":"x' || i || '"}' AS hstore_json,
+              CASE i % 4 WHEN 0 THEN 'red' WHEN 1 THEN 'green' WHEN 2 THEN 'blue' END AS enum_val,
+              md5('u' || i) AS uuid_lc,
+              lower(hex('v' || i)) AS bytea_hex,
+              (CASE i % 4 WHEN 0 THEN 1 WHEN 1 THEN 5 WHEN 2 THEN 22 ELSE 255 END)::BIGINT AS bit_int,
+              CASE i % 4 WHEN 0 THEN '01' WHEN 1 THEN 'a0' WHEN 2 THEN '05' ELSE 'f0f0' END AS varbit_hex,
+              i::VARCHAR || '|' || (i + 1)::VARCHAR || '|N|' || (i * 2)::VARCHAR AS arr_join,
+              (4 * i + 1)::BIGINT AS arr_sum,
+              i + 0.5 AS px,
+              -i - 0.25 AS py,
+              'fe80::' || (i % 10) AS inet_norm,
+              '[' || i || ',' || (i + 10) || ')' AS range_str
+            FROM base
+        """,
         "cdc_lww_dedup": f"""
             WITH feed AS ({feed})
             SELECT user_id, event_id AS last_event_id, event_type AS last_event_type

@@ -122,9 +122,15 @@ class LakeTable:
             }
         )
 
+    @staticmethod
+    def _cols3(m: dict) -> list[tuple[str, str, str]]:
+        """(logical, type, physical) triples; legacy 2-element manifests use
+        physical = logical."""
+        return [(c[0], c[1], c[2] if len(c) > 2 else c[0]) for c in m["columns"]]
+
     @property
     def columns(self) -> list[tuple[str, str]]:
-        return [tuple(c) for c in self.manifest()["columns"]]
+        return [(n, t) for n, t, _ in self._cols3(self.manifest())]
 
     def applied(self, batch_id: str) -> bool:
         return batch_id in self.manifest()["applied_batches"]
@@ -138,16 +144,29 @@ class LakeTable:
         if buckets is not None:
             want = {str(b) for b in buckets}
             sel = {b: p for b, p in sel.items() if b in want}
-        cols = [tuple(c) for c in m["columns"]]
-        names = list(self.key_cols) + [n for n, _ in cols] + list(_META_COLS)
+        cols = self._cols3(m)
+        # data files store PHYSICAL column names; renames are applied here at
+        # read projection — the Iceberg field-ID indirection emulated with a
+        # per-column physical name, which is what makes RENAME metadata-only
         ddl = ", ".join(
             [f"{k} string" for k in self.key_cols]
-            + [f"{n} {t}" for n, t in cols]
+            + [f"{p} {t}" for _, t, p in cols]
             + ["_last_term long", "_last_index long", "_last_write_id long",
                "content_sha256 string"]
         )
+        names = (
+            [F.col(k) for k in self.key_cols]
+            + [F.col(p).alias(n) for n, _, p in cols]
+            + [F.col(c) for c in _META_COLS]
+        )
         if not sel:
-            df = self.spark.createDataFrame([], ddl)
+            logical_ddl = ", ".join(
+                [f"{k} string" for k in self.key_cols]
+                + [f"{n} {t}" for n, t, _ in cols]
+                + ["_last_term long", "_last_index long", "_last_write_id long",
+                   "content_sha256 string"]
+            )
+            df = self.spark.createDataFrame([], logical_ddl)
         else:
             # explicit manifest schema: no footer sampling/mergeSchema cost;
             # files predating an ADD COLUMN read the new column as NULL
@@ -161,30 +180,37 @@ class LakeTable:
         column already exists — the refresh-only-if-changed check
         (``YugabyteDBSchema.shouldRefreshSchema:213-243``)."""
         m = self.manifest()
-        if any(n == name for n, _ in m["columns"]):
+        cols = self._cols3(m)
+        if any(n == name for n, _, _ in cols):
             return False
+        # pick a physical name no file has ever used (a prior column may
+        # have been renamed away from `name`, leaving old files with a
+        # physical `name` column holding THAT column's data)
+        used = {p for _, _, p in cols} | set(_META_COLS) | set(self.key_cols)
+        physical, fid = name, m["version"] + 1
+        while physical in used:
+            physical = f"{name}_f{fid}"
+            fid += 1
         m["version"] += 1
-        m["columns"].append([name, ddl_type])
+        m["columns"].append([name, ddl_type, physical])
         self._commit_manifest(m)
         return True
 
     def rename_column(self, old: str, new: str) -> bool:
-        """RENAME COLUMN. Iceberg does this as metadata via field IDs;
-        name-based parquet cannot, so this fallback rewrites data (noted
-        trade-off; rare operation)."""
+        """RENAME COLUMN — **metadata only**, zero data movement: files keep
+        the physical column name; the manifest maps it to the new logical
+        name and ``read()`` applies the rename at projection. This is
+        Iceberg's field-ID indirection emulated with per-column physical
+        names (at 100 TB a rename that rewrote data would be a full-table
+        write inside the batch loop)."""
         m = self.manifest()
-        if not any(n == old for n, _ in m["columns"]):
+        cols = self._cols3(m)
+        if not any(n == old for n, _, _ in cols) or any(n == new for n, _, _ in cols):
             return False
-        df = self.read(with_meta=True).withColumnRenamed(old, new)
         m["version"] += 1
-        m["columns"] = [[new if n == old else n, t] for n, t in m["columns"]]
-        rel = f"data/v{m['version']:08d}"
-        out = os.path.join(self.path, rel)
-        dfw = df.withColumn("bucket", bucket_expr(self.n_buckets, self.key_cols))
-        dfw.repartition(self.n_buckets, "bucket").write.partitionBy("bucket").mode(
-            "overwrite"
-        ).parquet(out)
-        m["buckets"] = self._written_buckets(out, rel)
+        m["columns"] = [
+            [new if n == old else n, t, p] for n, t, p in cols
+        ]
         self._commit_manifest(m)
         return True
 
@@ -271,7 +297,7 @@ class LakeTable:
         m = self.manifest()
         if batch_id in m["applied_batches"]:
             return MergeStats(version=m["version"], skipped=True)
-        cols = [n for n, _ in m["columns"]]
+        cols = [c[0] for c in m["columns"]]
         key = list(self.key_cols)
         from .operators.decode import cell_set  # local import to avoid a cycle
 
@@ -408,6 +434,14 @@ class LakeTable:
         version = m["version"] + 1
         rel = f"data/v{version:08d}"
         out = os.path.join(self.path, rel)
+        # data files store PHYSICAL column names (rename indirection); one
+        # atomic select — sequential renames could collide when a logical
+        # name equals another column's physical name (rename + re-add case)
+        phys = {n: p for n, _, p in self._cols3(m) if n != p}
+        if phys:
+            merged = merged.select(
+                *[F.col(c).alias(phys.get(c, c)) for c in merged.columns]
+            )
         import time
 
         prof = os.environ.get("SPARK_GRAFT_PROFILE") == "1"
@@ -466,7 +500,7 @@ class LakeTable:
         m = self.manifest()
         if batch_id in m["applied_batches"]:
             return MergeStats(version=m["version"], skipped=True)
-        cols = [n for n, _ in m["columns"]]
+        cols = [c[0] for c in m["columns"]]
         key = list(self.key_cols)
 
         s = folded.withColumn("bucket", bucket_expr(self.n_buckets, self.key_cols))

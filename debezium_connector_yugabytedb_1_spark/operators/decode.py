@@ -56,14 +56,46 @@ PAYLOAD_SCHEMA = T.StructType(
 TABLE_COLUMNS = ("commit", "lang", "content", "stars")
 
 
-def decode_envelope(df: DataFrame, *, use_pandas: bool = False) -> DataFrame:
+def payload_schema(columns: list[tuple[str, str]]) -> T.StructType:
+    """Payload schema for the CURRENT source-table columns — the decode
+    analogue of the reference's per-tablet schema refresh
+    (``YugabyteDBSchema.shouldRefreshSchema:213-243``): after a rename/add
+    DDL, subsequent events carry the new field names, so the decode schema
+    must be built from the live column set, not a static one."""
+    after = T.StructType(
+        [T.StructField(n, _parse_ddl_type(t)) for n, t in columns]
+    )
+    return T.StructType(
+        [T.StructField("after", after)] + [f for f in PAYLOAD_SCHEMA.fields[1:]]
+    )
+
+
+def _parse_ddl_type(ddl: str) -> T.DataType:
+    from pyspark.sql.types import _parse_datatype_string
+
+    return _parse_datatype_string(ddl)
+
+
+def decode_envelope(
+    df: DataFrame,
+    *,
+    use_pandas: bool = False,
+    columns: list[tuple[str, str]] | None = None,
+) -> DataFrame:
     """P1 — parse the wire payload into typed ``after``/``changed``/``ddl``
     columns. Default path is ``from_json`` (pure JVM); ``use_pandas=True``
-    routes through an Arrow-batched pandas UDF with identical semantics."""
+    routes through an Arrow-batched pandas UDF with identical semantics.
+    ``columns`` (name, ddl-type) overrides the after-image schema — pass the
+    sink table's live columns so mid-stream DDL (add/rename) decodes."""
+    schema = payload_schema(columns) if columns is not None else PAYLOAD_SCHEMA
     if use_pandas:
+        if columns is not None and [n for n, _ in columns] != list(TABLE_COLUMNS):
+            raise NotImplementedError(
+                "the pandas decode path supports the default schema only"
+            )
         decoded = _decode_payload_pandas(F.col("payload"))
     else:
-        decoded = F.from_json(F.col("payload"), PAYLOAD_SCHEMA)
+        decoded = F.from_json(F.col("payload"), schema)
     return (
         df.withColumn("_p", decoded)
         .withColumn("after", F.col("_p.after"))

@@ -23,14 +23,30 @@ log = logging.getLogger("ybcdc.metrics")
 WAL_BACKLOG_WARN_THRESHOLD = 10_000  # reference: GROWING_WAL_WARNING_LOG_THRESHOLD
 
 
-def batch_metrics(events: DataFrame, batch_id: str) -> DataFrame:
+def batch_metrics(
+    events: DataFrame, batch_id: str, wallclock_ms: int | None = None
+) -> DataFrame:
     """A1 — per (tablet, op) counts + offset span for one batch; the lineage
-    record of what was applied from where."""
+    record of what was applied from where.
+
+    ``ms_behind_source`` is the reference's lag gauge
+    (``YugabyteDBStreamingPartitionMetrics.java:46-48``): wall clock minus
+    the newest commit HybridTime's physical millis (``commit_time >> 12`` is
+    physical micros, ``SourceInfo.java:96``). Pass ``wallclock_ms`` for
+    deterministic tests; defaults to the batch's processing time."""
+    wall = F.lit(wallclock_ms) if wallclock_ms is not None else F.unix_millis(
+        F.current_timestamp()
+    )
     return events.groupBy("tablet_id", "op").agg(
         F.count(F.lit(1)).alias("n"),
         F.min("index").alias("min_index"),
         F.max("index").alias("max_index"),
         F.max("commit_time").alias("max_commit_time"),
+    ).withColumn(
+        "ms_behind_source",
+        (wall - (F.shiftright(F.col("max_commit_time"), 12) / 1000).cast("long")).cast(
+            "long"
+        ),
     ).withColumn("batch_id", F.lit(batch_id))
 
 
@@ -58,6 +74,44 @@ def warn_wal_backlog(n_filtered: int, n_dispatched: int) -> bool:
         )
         return True
     return False
+
+
+def decode_messages(
+    events: DataFrame,
+    include: str | None = None,
+    exclude: str | None = None,
+    binary_mode: str = "bytes",
+) -> DataFrame:
+    """Logical-decoding message dispatch
+    (``LogicalDecodingMessageMonitor.java:40-133``): ``op == 'm'`` rows
+    become a side-output stream shaped like the reference's MessageValue —
+    key ``{prefix}``, value ``{op, ts_ms, source, message{prefix,
+    content}}`` — with the content converted per ``binary.handling.mode``
+    (``convertContent :123-133``). The prefix include/exclude filter (F5)
+    applies first."""
+    from .emit import source_block
+    from .filters import message_prefix_filter
+
+    msgs = message_prefix_filter(events.where(F.col("op") == "m"), include, exclude)
+    raw = F.encode(F.coalesce(F.col("payload"), F.lit("")), "utf-8")
+    if binary_mode == "hex":
+        content = F.lower(F.hex(raw))
+    elif binary_mode == "base64":
+        content = F.base64(raw)
+    else:
+        content = raw
+    return msgs.select(
+        F.struct(F.col("msg_prefix").alias("prefix")).alias("key"),
+        F.lit("m").alias("op"),
+        (F.shiftright(F.col("commit_time"), 12) / 1000).cast("long").alias("ts_ms"),
+        source_block().alias("source"),
+        F.struct(
+            F.col("msg_prefix").alias("prefix"), content.alias("content")
+        ).alias("message"),
+        F.col("term"),
+        F.col("index"),
+        F.col("write_id"),
+    )
 
 
 def txn_metadata(events: DataFrame) -> DataFrame:

@@ -80,6 +80,59 @@ def commit_time_order(df: DataFrame) -> DataFrame:
     return df.orderBy("commit_time", "record_time", "term", "index", "write_id")
 
 
+def global_sequence(
+    df: DataFrame,
+    order_cols: tuple[str, ...],
+    out_col: str = "seq",
+    n_ranges: int | None = None,
+) -> DataFrame:
+    """Scale-safe global rank over ``order_cols`` (1-based), replacing the
+    single-partition ``row_number() OVER (ORDER BY ...)`` plan that funnels
+    the whole dataset through one task.
+
+    Two-pass rank: (1) deterministic equal-width range buckets on the first
+    (numeric) order column — NOT ``repartitionByRange``, whose sampled
+    boundaries are not guaranteed stable across the two jobs — and a tiny
+    per-bucket count collect; (2) ``row_number`` windowed **per bucket**
+    (parallel) plus the bucket's cumulative offset. Total cost: one narrow
+    agg pass + one bucket-parallel sort; no stage ever holds more than one
+    bucket. Reference semantics: the Merger's total release order
+    (``Merger.java:15-240``, comparator ``Message.compareTo:64-79``)."""
+    first = order_cols[0]
+    sess = df.sparkSession
+    n = n_ranges or sess.sparkContext.defaultParallelism * 2
+    row = df.agg(
+        F.min(F.col(first).cast("double")).alias("mn"),
+        F.max(F.col(first).cast("double")).alias("mx"),
+    ).collect()[0]
+    if row["mn"] is None:
+        return df.withColumn(out_col, F.lit(None).cast("long"))
+    mn, mx = float(row["mn"]), float(row["mx"])
+    width = max((mx - mn) / n, 1e-9)
+    pid = F.least(
+        F.floor((F.col(first).cast("double") - F.lit(mn)) / F.lit(width)).cast("int"),
+        F.lit(n - 1),
+    )
+    counts = {
+        r["_pid"]: r["n"]
+        for r in df.groupBy(pid.alias("_pid")).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for p in sorted(counts):
+        offsets[p] = acc
+        acc += counts[p]
+    omap = F.create_map(
+        *[F.lit(x) for p_o in sorted(offsets.items()) for x in p_o]
+    )
+    w = W.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        df.withColumn("_pid", pid)
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn(out_col, (omap[F.col("_pid")] + F.col("_rn")).cast("long"))
+        .drop("_pid", "_rn")
+    )
+
+
 def assert_tablet_monotonic(df: DataFrame) -> DataFrame:
     """M1 invariant — per-tablet offsets must be strictly increasing in
     commit order (the Merger's IllegalStateException guard,

@@ -55,6 +55,68 @@ def salted_count(
     return phase1.groupBy(key).agg(F.sum("_c").alias("n_events"))
 
 
+def group_partitions(elements: list, num_groups: int) -> list[list]:
+    """Reference parity — ``YugabyteDBConnectorUtils.groupPartitions:16-42``:
+    contiguous split into ``num_groups`` chunks of size n+1 / n (leftover
+    chunks first), empty groups dropped."""
+    if num_groups <= 0:
+        raise ValueError("Number of groups must be positive")
+    per, leftover = divmod(len(elements), num_groups)
+    out, assigned = [], 0
+    for g in range(num_groups):
+        if assigned == len(elements):
+            break
+        n = per + 1 if g < leftover else per
+        out.append(list(elements[assigned : assigned + n]))
+        assigned += n
+    return out
+
+
+def group_partitions_smartly(
+    pairs: list[tuple[str, str]], num_groups: int
+) -> list[list[tuple[str, str]]]:
+    """Reference parity — ``groupPartitionsSmartly:51-103``: keep ALL tables
+    of one colocated tablet in a single task. ``pairs`` = (table_id,
+    tablet_id). When no tablet is shared (no colocation), falls back to the
+    plain contiguous grouping over the pairs, exactly like the reference."""
+    if not pairs:
+        raise ValueError("Elements to be grouped must be positive")
+    if num_groups <= 0:
+        raise ValueError("Number of groups must be positive")
+    by_tablet: dict[str, list[tuple[str, str]]] = {}
+    for table, tablet in pairs:
+        by_tablet.setdefault(tablet, []).append((table, tablet))
+    if len(by_tablet) == len(pairs):  # no colocation → regular grouping
+        return group_partitions(pairs, num_groups)
+    tablet_groups = group_partitions(list(by_tablet.keys()), num_groups)
+    return [
+        [p for tablet in tablets for p in by_tablet[tablet]]
+        for tablets in tablet_groups
+    ]
+
+
+def group_tablets_colocated(
+    pairs: list[tuple[str, str, int]], max_tasks: int
+) -> list[list[tuple[str, str]]]:
+    """Skew-aware + colocation-aware grouping: (table, tablet, weight)
+    triples; a colocated tablet's tables always land in one task (the
+    reference's invariant), tasks balanced by summed tablet weight (LPT —
+    the skew-aware improvement over the reference's count-based split)."""
+    by_tablet: dict[str, list[tuple[str, str]]] = {}
+    weight: dict[str, int] = {}
+    for table, tablet, w in pairs:
+        by_tablet.setdefault(tablet, []).append((table, tablet))
+        weight[tablet] = weight.get(tablet, 0) + w
+    n = min(max_tasks, max(1, len(by_tablet)))
+    tasks: list[list[tuple[str, str]]] = [[] for _ in range(n)]
+    loads = [0] * n
+    for tablet in sorted(weight, key=lambda t: (-weight[t], t)):
+        i = loads.index(min(loads))
+        tasks[i].extend(by_tablet[tablet])
+        loads[i] += weight[tablet]
+    return tasks
+
+
 def group_tablets_smartly(tablets: list[tuple[str, int]], max_tasks: int) -> list[list[str]]:
     """The reference's skew-aware grouping (``groupPartitionsSmartly``):
     sort tablets by load descending, assign each to the currently-lightest

@@ -300,6 +300,7 @@ class CdcPipeline:
         decoded = decode_envelope(
             disp.where(F.col("op").isin(*DML_OPS, "pku")),
             use_pandas=self.use_pandas_decode,
+            columns=self.table.columns,
         )
         dml = split_pk_updates(decoded)
         # fused fold+MERGE: one aggregation job does the whole apply

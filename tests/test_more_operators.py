@@ -75,8 +75,9 @@ def test_snapshot_phase_then_streaming(spark, tmp_path):
     assert st[("r1", "a.py")]["commit"] == "c0" and len(st) == 2
     assert ckpt.meta()["snapshot_done"]
     # idempotent: second call is a no-op
+    v1 = table.manifest()["version"]
     run_snapshot(base, table, ckpt)
-    assert table.manifest()["version"] == 1  # unchanged after first merge
+    assert table.manifest()["version"] == v1  # unchanged after completion
 
     # a streaming update with offset > snapshot offset wins
     ev = spark.createDataFrame(

@@ -219,6 +219,30 @@ def test_lake_schema_evolution(spark, tmp_path):
     assert t.add_column("stars", "long")
     assert not t.add_column("stars", "long")  # refresh-only-if-changed
     assert t.read().collect()[0]["stars"] is None  # old files read as NULL
+    buckets_before = dict(t.manifest()["buckets"])
     assert t.rename_column("commit", "commit_sha")
     assert t.read().collect()[0]["commit_sha"] == "a"
     assert [n for n, _ in t.columns] == ["commit_sha", "content", "stars"]
+    # RENAME is metadata-only: no data file was rewritten (field-ID-style
+    # physical-name indirection; Iceberg parity)
+    assert t.manifest()["buckets"] == buckets_before
+    # a later ADD COLUMN reusing the old logical name gets a FRESH physical
+    # name — old files' physical 'commit' data must not leak into it
+    assert t.add_column("commit", "string")
+    row = t.read().collect()[0]
+    assert row["commit"] is None and row["commit_sha"] == "a"
+    # writes after the rename still round-trip through physical names
+    f2 = spark.createDataFrame(
+        [("r2", "p2", True, False, (0, 2, 0), 1, "zz", "c2", True, True)],
+        "repo string, path string, exists boolean, had_delete boolean, "
+        "last_offset struct<term:long,index:long,write_id:long>, n_events long, "
+        "commit_sha_val string, content_val string, commit_sha_set boolean, "
+        "content_set boolean",
+    ).withColumn("stars_val", F.lit(None).cast("long")) \
+     .withColumn("stars_set", F.lit(False)) \
+     .withColumn("commit_val", F.lit(None).cast("string")) \
+     .withColumn("commit_set", F.lit(False))
+    t.merge(f2, "b2")
+    got = {(r["repo"], r["path"]): r for r in t.read().collect()}
+    assert got[("r2", "p2")]["commit_sha"] == "zz"
+    assert got[("r", "p")]["commit_sha"] == "a"
