@@ -89,9 +89,9 @@ def decode_envelope(
     sink table's live columns so mid-stream DDL (add/rename) decodes."""
     schema = payload_schema(columns) if columns is not None else PAYLOAD_SCHEMA
     if use_pandas:
-        if columns is not None and [n for n, _ in columns] != list(TABLE_COLUMNS):
+        if columns is not None and not {n for n, _ in columns} <= set(TABLE_COLUMNS):
             raise NotImplementedError(
-                "the pandas decode path supports the default schema only"
+                "the pandas decode path extracts the default field set only"
             )
         decoded = _decode_payload_pandas(F.col("payload"))
     else:
