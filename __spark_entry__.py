@@ -265,11 +265,15 @@ def q_cdc_skew_salted_count(spark, sf_dir):
 
 
 def q_cdc_order_consistent(spark, sf_dir):
-    """M1 — global commit-time order (rank over (ts, event_id))."""
+    """M1 — global commit-time order. Scale path: two-pass rank
+    (``order.global_sequence`` — deterministic range buckets + per-bucket
+    windows), NOT a single-partition ``row_number() OVER (ORDER BY ...)``
+    that funnels the dataset through one task."""
+    from debezium_connector_yugabytedb_1_spark.operators.order import global_sequence
+
     ev = _events(spark, sf_dir)
-    w = W.orderBy("ts", "event_id")
-    return ev.select(
-        "event_id", F.row_number().over(w).cast("long").alias("rn")
+    return global_sequence(ev, ("ts", "event_id"), out_col="rn").select(
+        "event_id", F.col("rn").cast("long").alias("rn")
     )
 
 

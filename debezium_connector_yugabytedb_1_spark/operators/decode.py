@@ -152,13 +152,40 @@ def cell_struct(column_name: str) -> Column:
     )
 
 
-def extract_new_record_state(decoded: DataFrame, columns=TABLE_COLUMNS) -> DataFrame:
+def extract_new_record_state(
+    decoded: DataFrame,
+    columns=TABLE_COLUMNS,
+    *,
+    delete_to_tombstone: bool = False,
+    drop_tombstones: bool = True,
+) -> DataFrame:
     """P8 — ``YBExtractNewRecordState`` SMT analogue
     (``YBExtractNewRecordState.java:57-221``): unwrap envelope → after image,
-    drop unset cells (null), add ``__deleted``."""
+    drop unset cells (null), add ``__deleted``.
+
+    Modes (``:64-67, 88-125``):
+    - default: deletes keep a row image with ``__deleted = true``;
+      explicitly-received tombstones (``op = 't'``) are dropped when
+      ``drop_tombstones`` (the base SMT's ``drop.tombstones`` default).
+    - ``delete_to_tombstone=True``: a DELETE becomes a tombstone — key
+      kept, every value column nulled, ``__tombstone = true`` (the
+      Kafka null-value record re-expressed relationally) — and source
+      tombstone records are dropped (``:103-107``)."""
+    is_del = F.col("op") == "d"
+    is_tomb = F.col("op") == "t"
+    src = decoded
+    if delete_to_tombstone:
+        src = src.where(~is_tomb)  # drop source tombstones (:103-107)
+        proj = [F.col("repo"), F.col("path")]
+        proj += [
+            F.when(~is_del & cell_set(c), F.col(f"after.{c}")).alias(c)
+            for c in columns
+        ]
+        proj.append(is_del.alias("__tombstone"))
+        return src.select(*proj)
+    if drop_tombstones:
+        src = src.where(~is_tomb)
     proj = [F.col("repo"), F.col("path")]
-    proj += [
-        F.when(cell_set(c), F.col(f"after.{c}")).alias(c) for c in columns
-    ]
+    proj += [F.when(cell_set(c), F.col(f"after.{c}")).alias(c) for c in columns]
     proj.append(F.col("op").isin("d", "t").alias("__deleted"))
-    return decoded.select(*proj)
+    return src.select(*proj)

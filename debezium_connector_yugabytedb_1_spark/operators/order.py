@@ -72,6 +72,26 @@ def last_writer_wins(
     )
 
 
+def release_gate(df: DataFrame, safetimes: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """M1 — the consistent-streaming release gate: a record is released only
+    once EVERY tablet's safe time has passed its commit time (the Merger's
+    peek gate, ``Merger.java:116-133`` — ``peek`` returns a message only if
+    ``commit_time <= streamSafetime``, where the stream safetime is the min
+    across tablet safetimes).
+
+    ``safetimes``: (tablet_id, safe_time) — the output of
+    ``filters.extract_safepoint_watermark``. Returns ``(released, held)``;
+    held records re-enter the next poll's merge, exactly the reference's
+    pending queue. The gate is a scalar broadcast comparison — no shuffle."""
+    row = safetimes.agg(F.min("safe_time").alias("s")).collect()[0]
+    stream_safetime = row["s"]
+    if stream_safetime is None:  # no safepoint seen yet: nothing is safe
+        return df.where(F.lit(False)), df
+    released = df.where(F.col("commit_time") <= F.lit(stream_safetime))
+    held = df.where(F.col("commit_time") > F.lit(stream_safetime))
+    return released, held
+
+
 def commit_time_order(df: DataFrame) -> DataFrame:
     """M1 — consistent release order within a micro-batch: sort by
     ``(commit_time, record_time, offset)`` (the Merger's comparator,
