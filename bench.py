@@ -131,6 +131,22 @@ def run_queries(spark, sf_dir: str) -> dict:
     return out
 
 
+def alu_control(spark) -> float:
+    """Compute-bound control job (sha2 over generated rows, no I/O, no
+    shuffle beyond one row): isolates how well PURE CPU scales at this
+    parallelism on this host, so the replay's scaling number can be read
+    against the machine's ceiling rather than an assumed 1.0."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 40_000_000, 1, 256).select(
+        F.sha2(F.concat(F.lit("x"), F.col("id").cast("string")), 256).alias("h")
+    )
+    df.limit(1000).write.format("noop").mode("overwrite").save()  # warm
+    t0 = time.monotonic()
+    df.write.format("noop").mode("overwrite").save()
+    return round(time.monotonic() - t0, 3)
+
+
 def one_run(cores: int, include_queries: bool = True) -> dict:
     from debezium_connector_yugabytedb_1_spark.session import get_spark
 
@@ -139,8 +155,10 @@ def one_run(cores: int, include_queries: bool = True) -> dict:
     n_events = int(os.environ.get("SPARK_GRAFT_EVENTS", max(100_000, int(EVENTS_PER_SF * sf))))
     events_path = ensure_corpus(spark, n_events)
     replay = run_replay(spark, events_path, n_events, f"/tmp/ybcdc_bench/work_c{cores}")
+    alu = alu_control(spark) if os.environ.get("SPARK_GRAFT_ALU") == "1" else None
     queries = run_queries(spark, SF_DIR) if include_queries else {}
     return {
+        **({"alu_sec": alu} if alu is not None else {}),
         "metric": "cdc_replay_e2e",
         "value": replay["replay_sec"],
         "unit": "sec",
@@ -164,6 +182,7 @@ def scaling(levels=(8, 32)) -> None:
             env = dict(
                 os.environ,
                 SPARK_GRAFT_CPUS=str(c),
+                SPARK_GRAFT_ALU="1",  # same-run compute-bound control
                 # scaling runs use a bigger corpus and few large batches so
                 # the parallel region dominates driver-side serial costs
                 SPARK_GRAFT_EVENTS=os.environ.get("SPARK_GRAFT_EVENTS", "16000000"),
@@ -185,6 +204,19 @@ def scaling(levels=(8, 32)) -> None:
     ratio = hi["events_per_sec"] / lo["events_per_sec"]
     core_ratio = hi["cores"] / lo["cores"]
     eff = ratio / core_ratio
+    alu_eff = None
+    if lo.get("alu_sec") and hi.get("alu_sec"):
+        alu_eff = (lo["alu_sec"] / hi["alu_sec"]) / core_ratio
+    alu_block = (
+        f"""
+Same-run compute-bound control (sha2 pipeline, no I/O):
+{lo['cores']} cores {lo.get('alu_sec')}s → {hi['cores']} cores {hi.get('alu_sec')}s
+= **ALU scaling efficiency {alu_eff:.2f}** — the machine's ceiling for
+work that does not contend on the shared VM memory subsystem.
+"""
+        if alu_eff is not None
+        else ""
+    )
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
@@ -201,7 +233,7 @@ same partitioning of input) at two local parallelism levels:
 - throughput ratio {lo['cores']}→{hi['cores']} cores: **{ratio:.2f}x**
 - core ratio: {core_ratio:.0f}x
 - **scaling efficiency: {eff:.2f}**
-
+{alu_block}
 Method: `python bench.py --scaling` re-execs this benchmark in a fresh JVM
 per level (`local[{lo['cores']}]` / `local[{hi['cores']}]`,
 `spark.sql.shuffle.partitions` = 2x cores, GC threads pinned to the level's
@@ -240,7 +272,15 @@ cluster the per-executor memory bandwidth is private, so the remaining gap
 is expected to close toward the ALU-control number.
 """
         )
-    print(json.dumps({"scaling_efficiency": round(eff, 3), "levels": results}))
+    print(
+        json.dumps(
+            {
+                "scaling_efficiency": round(eff, 3),
+                **({"alu_control_efficiency": round(alu_eff, 3)} if alu_eff else {}),
+                "levels": results,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

@@ -52,8 +52,13 @@ from pyspark.sql import functions as F
 
 KEY_COLS = ("repo", "path")
 _OFF_FIELDS = ("term", "index", "write_id")
-#: hidden bookkeeping columns stored per row
-_META_COLS = ("_last_term", "_last_index", "_last_write_id", "content_sha256")
+#: hidden bookkeeping columns stored per row. ``_deleted`` rows are
+#: tombstones: a deleted key keeps (key, last offset, _deleted=true) so a
+#: LATE-ARRIVING lower-offset upsert (out-of-order transport, e.g. the
+#: Structured Streaming file source across triggers) loses the monotonic
+#: guard instead of resurrecting the row. Tombstones are invisible to
+#: readers and reclaimable via ``vacuum_tombstones``.
+_META_COLS = ("_last_term", "_last_index", "_last_write_id", "content_sha256", "_deleted")
 
 
 def bucket_expr(n_buckets: int, key_cols=KEY_COLS):
@@ -136,23 +141,33 @@ class LakeTable:
         return batch_id in self.manifest()["applied_batches"]
 
     # ---------------- read ----------------
-    def read(self, buckets: list[int] | None = None, with_meta: bool = False) -> DataFrame:
+    def read(
+        self,
+        buckets: list[int] | None = None,
+        with_meta: bool = False,
+        with_deleted: bool = False,
+    ) -> DataFrame:
         """Current snapshot, optionally pruned to a bucket subset (manifest
-        lookup — no file-system scan of untouched partitions)."""
+        lookup — no file-system scan of untouched partitions). Tombstone
+        rows are excluded unless ``with_deleted`` (the merge paths read them
+        to keep the offset guard order-free)."""
         m = self.manifest()
         sel = m["buckets"]
         if buckets is not None:
             want = {str(b) for b in buckets}
             sel = {b: p for b, p in sel.items() if b in want}
         cols = self._cols3(m)
+        meta_ddl = (
+            "_last_term long, _last_index long, _last_write_id long, "
+            "content_sha256 string, _deleted boolean"
+        )
         # data files store PHYSICAL column names; renames are applied here at
         # read projection — the Iceberg field-ID indirection emulated with a
         # per-column physical name, which is what makes RENAME metadata-only
         ddl = ", ".join(
             [f"{k} string" for k in self.key_cols]
             + [f"{p} {t}" for _, t, p in cols]
-            + ["_last_term long", "_last_index long", "_last_write_id long",
-               "content_sha256 string"]
+            + [meta_ddl]
         )
         names = (
             [F.col(k) for k in self.key_cols]
@@ -163,8 +178,7 @@ class LakeTable:
             logical_ddl = ", ".join(
                 [f"{k} string" for k in self.key_cols]
                 + [f"{n} {t}" for n, t, _ in cols]
-                + ["_last_term long", "_last_index long", "_last_write_id long",
-                   "content_sha256 string"]
+                + [meta_ddl]
             )
             df = self.spark.createDataFrame([], logical_ddl)
         else:
@@ -172,6 +186,8 @@ class LakeTable:
             # files predating an ADD COLUMN read the new column as NULL
             paths = [os.path.join(self.path, p) for p in sel.values()]
             df = self.spark.read.schema(ddl).parquet(*paths).select(*names)
+        if not with_deleted:
+            df = df.where(~F.coalesce(F.col("_deleted"), F.lit(False)))
         return df if with_meta else df.drop(*_META_COLS)
 
     # ---------------- DDL (D1) ----------------
@@ -259,6 +275,43 @@ class LakeTable:
                 os.remove(os.path.join(self._vdir(), f_))
         return removed
 
+    def vacuum_tombstones(self, before_index: int) -> int:
+        """Reclaim tombstone rows whose delete offset is older than
+        ``before_index`` — safe once no transport can still deliver events
+        below that index (e.g. the committed checkpoint's min across
+        tablets). Rewrites every bucket (a maintenance job, like Iceberg
+        ``rewrite_data_files``); returns the number of tombstones dropped."""
+        m = self.manifest()
+        df = self.read(with_meta=True, with_deleted=True)
+        dead = F.coalesce(F.col("_deleted"), F.lit(False)) & (
+            F.col("_last_index") < F.lit(before_index)
+        )
+        obs = Observation("vacuum")
+        kept = (
+            df.observe(obs, F.sum(dead.cast("long")).alias("dropped"))
+            .where(~dead)
+            .withColumn("bucket", bucket_expr(self.n_buckets, self.key_cols))
+        )
+        phys = {n: p for n, _, p in self._cols3(m) if n != p}
+        if phys:
+            kept = kept.select(
+                *[F.col(c).alias(phys.get(c, c)) for c in kept.columns]
+            )
+        version = m["version"] + 1
+        rel = f"data/v{version:08d}"
+        out = os.path.join(self.path, rel)
+        kept.repartition(self.n_buckets, "bucket").write.partitionBy("bucket").mode(
+            "overwrite"
+        ).parquet(out)
+        try:
+            dropped = int(dict(obs.get)["dropped"] or 0)
+        except Exception:
+            dropped = 0
+        m["version"] = version
+        m["buckets"] = self._written_buckets(out, rel)
+        self._commit_manifest(m)
+        return dropped
+
     # ---------------- MERGE (K1) ----------------
     def merge_events(
         self, dml: DataFrame, batch_id: str, touched_buckets: list[int] | None = None
@@ -331,17 +384,20 @@ class LakeTable:
             touched = [r["bucket"] for r in ev.select("bucket").distinct().collect()]
         else:
             touched = [int(b) for b in touched_buckets]
-        t = self.read(buckets=touched, with_meta=True)
+        t = self.read(buckets=touched, with_meta=True, with_deleted=True)
+        # tombstone target rows re-enter the fold as DELETE events at their
+        # stored offset — a late lower-offset upsert then loses the max()
+        t_dead = F.coalesce(F.col("_deleted"), F.lit(False))
         tev = t.select(
             *key,
             bkt.alias("bucket"),
             salt.alias("_salt"),
-            F.lit("r").alias("op"),
+            F.when(t_dead, F.lit("d")).otherwise(F.lit("r")).alias("op"),
             F.col("_last_term").alias("term"),
             F.col("_last_index").alias("index"),
             F.col("_last_write_id").alias("write_id"),
             *[F.col(c).alias(f"_v_{c}") for c in cols],
-            *[F.lit(True).alias(f"_set_{c}") for c in cols],
+            *[(~t_dead).alias(f"_set_{c}") for c in cols],
             F.col("content_sha256").alias("_sha"),
             F.lit(True).alias("_is_target"),
         )
@@ -360,6 +416,7 @@ class LakeTable:
             F.max(F.when(is_up, off)).alias("_last_up"),
             F.max(off).alias("_last_off"),
             F.max(F.when(is_target, off)).alias("_t_off"),
+            F.max(F.when(is_target & is_up, off)).alias("_t_vis_off"),
             F.max(F.when(~is_target, off)).alias("_s_off"),
             F.max(
                 F.when(is_target, F.struct(off.alias("off"), F.col("_sha").alias("v")))
@@ -390,12 +447,13 @@ class LakeTable:
             F.coalesce(F.col("_last_up"), neg) > del_floor
         )
         t_here = F.col("_t_off").isNotNull()
+        t_vis = F.col("_t_vis_off").isNotNull()  # target row was visible
         newer = F.col("_s_off").isNotNull() & (
             ~t_here | (F.col("_s_off") > F.col("_t_off"))
         )
         stats_exprs = [
             F.sum((newer & exists).cast("long")).alias("upserted"),
-            F.sum((newer & t_here & ~exists).cast("long")).alias("deleted"),
+            F.sum((newer & t_vis & ~exists).cast("long")).alias("deleted"),
             F.sum((t_here & ~newer).cast("long")).alias("carried"),
         ]
 
@@ -425,8 +483,11 @@ class LakeTable:
         else:
             out_cols.append(F.lit(None).cast("string").alias("content_sha256"))
 
+        out_cols.append((~exists).alias("_deleted"))
         obs = Observation(f"merge-{batch_id}")
-        merged = g.observe(obs, *stats_exprs).where(exists).select(*out_cols)
+        # EVERY key is kept — deleted keys as tombstone rows (null values,
+        # real offset) so the guard works under any event-arrival order
+        merged = g.observe(obs, *stats_exprs).select(*out_cols)
         return self._commit_data(merged, obs, lambda: g.agg(*stats_exprs), m, touched, batch_id)
 
     def _commit_data(
@@ -512,9 +573,9 @@ class LakeTable:
             touched = [r["bucket"] for r in s.select("bucket").distinct().collect()]
         else:
             touched = [int(b) for b in touched_buckets]
-        t = self.read(buckets=touched, with_meta=True).withColumn(
-            "bucket", bucket_expr(self.n_buckets, self.key_cols)
-        )
+        t = self.read(
+            buckets=touched, with_meta=True, with_deleted=True
+        ).withColumn("bucket", bucket_expr(self.n_buckets, self.key_cols))
 
         # MERGE as a union + ONE bucket-aligned aggregation instead of a
         # full-outer join. Both sides are tagged into nullable structs and
@@ -548,6 +609,7 @@ class LakeTable:
                 F.col("_last_index"),
                 F.col("_last_write_id"),
                 F.col("content_sha256"),
+                F.coalesce(F.col("_deleted"), F.lit(False)).alias("_deleted"),
             ).alias("_t"),
         )
         j = (
@@ -567,10 +629,13 @@ class LakeTable:
             F.col("t._last_write_id").alias("write_id"),
         )
         # monotonic guard: stale/duplicate events never move a row backwards
+        # (tombstone target rows carry the delete's offset, so a late
+        # lower-offset upsert loses here instead of resurrecting the row)
         guard = ~t_here | (F.col("s.last_offset") > t_off)
-        keep = (
-            F.when(~s_here, t_here)
-            .when(~guard, t_here)
+        t_vis = t_here & ~F.col("t._deleted")  # target row was visible
+        visible = (
+            F.when(~s_here, t_vis)
+            .when(~guard, t_vis)
             .otherwise(F.col("s.exists"))
         )
         from_target = ~s_here | ~guard  # row image untouched by this batch
@@ -608,13 +673,15 @@ class LakeTable:
         else:
             out_cols.append(F.lit(None).cast("string").alias("content_sha256"))
 
+        out_cols.append((~visible).alias("_deleted"))
         stats_exprs = [
             F.sum((s_here & guard & F.col("s.exists")).cast("long")).alias("upserted"),
-            F.sum((s_here & guard & t_here & ~F.col("s.exists")).cast("long")).alias(
+            F.sum((s_here & guard & t_vis & ~F.col("s.exists")).cast("long")).alias(
                 "deleted"
             ),
             F.sum((t_here & ~(s_here & guard)).cast("long")).alias("carried"),
         ]
         obs = Observation(f"merge-{batch_id}")
-        merged = j.observe(obs, *stats_exprs).where(keep).select(*out_cols)
+        # every key kept; deleted keys become tombstone rows
+        merged = j.observe(obs, *stats_exprs).select(*out_cols)
         return self._commit_data(merged, obs, lambda: j.agg(*stats_exprs), m, touched, batch_id)

@@ -72,7 +72,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.5,
-    max_df: int | None = None,
+    max_df: int | None = 256,
 ) -> DataFrame:
     """All pairs (a < b) with shingle-set Jaccard >= threshold.
 
@@ -80,11 +80,13 @@ def ngram_jaccard_pairs(
     counts over the kept shingles; J = inter / (|A| + |B| - inter). Integer
     arithmetic until the final comparison (exact, oracle-replicable).
 
-    Plan shape (with max_df): shingles computed ONCE, one groupBy(shingle)
-    builds posting lists, candidate pairs are generated expression-side from
-    each list (bounded by max_df^2/2 per shingle) — no self-join, no second
-    pass over the text. Without max_df a posting list can be O(#docs), so
-    the classic inverted-index self-join is used instead."""
+    Plan shape (with max_df, the default): shingles computed ONCE, one
+    groupBy(shingle) builds posting lists, candidate pairs are generated
+    expression-side from each list (bounded by max_df^2/2 per shingle) — no
+    self-join, no second pass over the text. ``max_df=None`` disables the
+    cap and falls back to the classic inverted-index self-join, whose hot
+    posting lists are O(#docs) — an explicit opt-in for small corpora, never
+    the default (the self-join explodes at scale)."""
     sh = _spread(docs).select("doc_id", F.explode(word_shingles(text_col, k)).alias("shingle"))
     if max_df is not None:
         # one expensive shingle pass, materialized: postings = shingle →

@@ -70,6 +70,9 @@ def get_spark(
         # real 100TB scale (100MB+ files) override these back up.
         .config("spark.sql.files.maxPartitionBytes", str(16 << 20))
         .config("spark.sql.files.openCostInBytes", str(1 << 20))
+        # fewer, larger shuffle-write flushes (default 32k): measured ~4%
+        # off the decode+shuffle stage at higher core counts, neutral at low
+        .config("spark.shuffle.file.buffer", "1m")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

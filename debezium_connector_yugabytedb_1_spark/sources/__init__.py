@@ -27,6 +27,7 @@ EVENT_SCHEMA = T.StructType(
         T.StructField("op", T.StringType()),
         T.StructField("repo", T.StringType()),
         T.StructField("path", T.StringType()),
+        T.StructField("old_repo", T.StringType()),
         T.StructField("old_path", T.StringType()),
         T.StructField("schema_version", T.IntegerType()),
         T.StructField("payload", T.StringType()),

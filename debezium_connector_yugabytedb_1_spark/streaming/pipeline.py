@@ -111,10 +111,6 @@ class CdcPipeline:
         the available log (or ``max_batches`` windows — the kill/resume
         test's kill switch)."""
         events = self._events()
-        hi_row = events.agg(F.max("index").alias("m")).collect()[0]
-        if hi_row["m"] is None:
-            return []
-        max_index = int(hi_row["m"])
         lo = int(self.ckpt.meta().get("next_lo", 0))
         results: list[BatchResult] = []
         n = 0
@@ -139,8 +135,15 @@ class CdcPipeline:
                 print(f"[profile] {label}: {time.monotonic() - t0:.3f}s", flush=True)
 
         with ThreadPoolExecutor(max_workers=1) as pool:
-            fut = None
-            window = None
+            # the first window's stats job runs concurrently with the
+            # log-extent scan below — neither depends on the other, and both
+            # are otherwise serial time ahead of the first merge
+            fut, window = submit(pool, lo, lo + self.events_per_batch)
+            hi_row = events.agg(F.max("index").alias("m")).collect()[0]
+            if hi_row["m"] is None:
+                fut.result()
+                return []
+            max_index = int(hi_row["m"])
             while lo <= max_index and (max_batches is None or n < max_batches):
                 hi = lo + self.events_per_batch
                 if fut is None:

@@ -12,6 +12,22 @@ reference Merger's gate, ``Merger.java:116-133``); in Structured Streaming
 the same role is played by ``withWatermark`` on the commit-time column when
 windowed aggregations are involved. The replay MERGE itself needs no
 watermark — it is monotonic via offsets.
+
+Ordering contract: the file source groups rows by file listing, not offset.
+Row-level semantics are fully order-free — tombstone rows persist delete
+offsets, so inserts/updates/deletes arriving across triggers in ANY order
+converge (``test_out_of_order_delete_no_resurrection``). Two constructs
+still assume per-key in-order delivery, which real transports provide
+(Kafka partitions by key; the batch pipeline windows the WAL by offset):
+
+- per-COLUMN last-writer-wins for *partial* updates: the stored row keeps
+  one offset, not per-column offsets, so a column set at offset 25 arriving
+  after a offset-30 partial update that did NOT touch it would be shadowed;
+- DDL placement: a DDL arriving in a later trigger than events beyond it
+  folds those events under the older schema.
+
+A transport without per-key order should gate triggers on the safepoint
+watermark (``order.release_gate``) to restore order at trigger granularity.
 """
 
 from __future__ import annotations
@@ -21,10 +37,9 @@ from pyspark.sql import functions as F
 
 from ..lake import LakeTable
 from ..operators import filters
-from ..operators.checkpoint import CheckpointStore, batch_offsets, resume_filter
+from ..operators.checkpoint import CheckpointStore, batch_offsets
 from ..operators.decode import decode_envelope
 from ..operators.emit import DML_OPS, split_pk_updates
-from ..operators.order import fold_changes
 from ..sources import read_event_stream
 
 
@@ -35,23 +50,45 @@ def apply_batch(
     ckpt: CheckpointStore,
 ) -> None:
     """The foreachBatch body — identical operator chain to CdcPipeline
-    (minus index windowing, which Spark's source handles)."""
-    batch = resume_filter(batch, ckpt.load())
-    disp = filters.dispatchable(filters.table_filter(batch))
-    decoded = decode_envelope(disp.where(F.col("op").isin(*DML_OPS, "pku")))
-    # DDLs inside a streaming batch: apply before the data (offset order is
-    # preserved because resume_filter guarantees all events are new)
-    for r in (
-        batch.where(F.col("op") == "ddl").select("payload").orderBy("index").collect()
-    ):
-        import json
+    (minus index windowing, which Spark's source handles).
 
-        d = json.loads(r["payload"])
-        if d.get("action") == "add_column":
-            table.add_column(d["name"], d.get("type", "string"))
-    cols = [n for n, _ in table.columns]
-    folded = fold_changes(split_pk_updates(decoded), columns=cols)
-    table.merge(folded, f"stream-{batch_id}")
+    No ``resume_filter`` here: Structured Streaming's file source does NOT
+    deliver rows offset-ordered across triggers (files are grouped by
+    listing, the corpus is in arrival order), so filtering a trigger by the
+    previous trigger's max offsets would silently DROP late-arriving lower
+    offsets. Exactly-once comes from the layers that do not assume order:
+    Spark's own source checkpoint (no re-delivery of file batches),
+    ``merge_events``'s batch-id skip (foreachBatch replays reuse the batch
+    id), and the per-row monotonic offset guard (stale rows lose the fold).
+    The engine checkpoint is still committed for observability/resume of
+    the batch pipeline."""
+    import json
+
+    # DDL cut within the trigger: apply each DDL exactly at its offset, with
+    # the events before/after it folded under the schema of their time —
+    # same semantics as CdcPipeline._process_window
+    ddls = sorted(
+        (int(r["index"]), json.loads(r["payload"]))
+        for r in batch.where(F.col("op") == "ddl").select("index", "payload").collect()
+    )
+    disp = filters.dispatchable(filters.table_filter(batch))
+    dml_all = disp.where(F.col("op").isin(*DML_OPS, "pku"))
+    cuts = [None] + [i for i, _ in ddls] + [None]
+    for i in range(len(cuts) - 1):
+        if i > 0:
+            d = ddls[i - 1][1]
+            if d.get("action") == "add_column":
+                table.add_column(d["name"], d.get("type", "string"))
+            elif d.get("action") == "rename_column":
+                table.rename_column(d["old"], d["new"])
+        sub = dml_all
+        if cuts[i] is not None:
+            sub = sub.where(F.col("index") >= cuts[i])
+        if cuts[i + 1] is not None:
+            sub = sub.where(F.col("index") < cuts[i + 1])
+        decoded = decode_envelope(sub, columns=table.columns)
+        # fused fold+MERGE — same hot path as CdcPipeline
+        table.merge_events(split_pk_updates(decoded), f"stream-{batch_id}-{i}")
     ckpt.commit(batch_offsets(batch))
 
 

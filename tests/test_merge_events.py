@@ -124,3 +124,80 @@ def test_merge_events_single_aggregation_plan(spark, tmp_path):
     plan = g._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Aggregate") <= 2  # one agg node (name appears per line)
     assert "SortMergeJoin" not in plan
+
+
+def test_out_of_order_delete_no_resurrection(spark, tmp_path):
+    """A delete arriving BEFORE the (lower-offset) create it kills — e.g.
+    the streaming file source across triggers — must not let the create
+    resurrect the row: tombstones persist the delete's offset."""
+    t = LakeTable(spark, str(tmp_path / "lake"), n_buckets=4)
+    t.init(COLS)
+    dele = spark.createDataFrame(
+        [(0, 20, 0, "d", "r", "p", None)],
+        "term long, index long, write_id long, op string, repo string, path string, payload string",
+    )
+    crea = spark.createDataFrame(
+        [(0, 10, 0, "c", "r", "p", '{"after":{"commit":"c1","content":"x"},"changed":["commit","content"]}')],
+        "term long, index long, write_id long, op string, repo string, path string, payload string",
+    )
+    t.merge_events(_dml(dele), "b-del")   # delete arrives first
+    t.merge_events(_dml(crea), "b-crea")  # stale create arrives later
+    assert t.read().isEmpty(), "stale create must not resurrect a deleted row"
+    # with-deleted view holds the tombstone at the delete's offset
+    tomb = t.read(with_meta=True, with_deleted=True).collect()
+    assert len(tomb) == 1 and tomb[0]["_deleted"] and tomb[0]["_last_index"] == 20
+    # a genuinely newer create DOES resurrect
+    crea2 = spark.createDataFrame(
+        [(0, 30, 0, "c", "r", "p", '{"after":{"commit":"c2","content":"y"},"changed":["commit","content"]}')],
+        "term long, index long, write_id long, op string, repo string, path string, payload string",
+    )
+    st = t.merge_events(_dml(crea2), "b-crea2")
+    assert st.upserted == 1
+    rows = t.read().collect()
+    assert len(rows) == 1 and rows[0]["commit"] == "c2"
+    # vacuum: tombstone gone after its offset is safe (none left here since
+    # the key is live again) — seed another deleted key and reclaim it
+    dele2 = spark.createDataFrame(
+        [(0, 40, 0, "d", "r2", "p2", None)],
+        "term long, index long, write_id long, op string, repo string, path string, payload string",
+    )
+    t.merge_events(_dml(dele2), "b-del2")
+    assert t.vacuum_tombstones(before_index=50) == 1
+    assert t.read(with_meta=True, with_deleted=True).where("_deleted").isEmpty()
+    assert t.read().count() == 1  # live row survived the rewrite
+
+
+def test_streaming_multi_trigger_converges_with_batch(spark, tmp_path):
+    """The Structured Streaming front-end (file source, multiple triggers,
+    NO offset order across triggers) must converge to the batch pipeline's
+    visible state: same keys, same row images (DDL corpus: base columns —
+    see stream.py's ordering contract for the per-column caveat)."""
+    import os
+
+    from debezium_connector_yugabytedb_1_spark.generator import write_events
+    from debezium_connector_yugabytedb_1_spark.operators.checkpoint import CheckpointStore
+    from debezium_connector_yugabytedb_1_spark.streaming.pipeline import CdcPipeline
+    from debezium_connector_yugabytedb_1_spark.streaming.stream import run_streaming
+
+    ev = os.path.join(str(tmp_path), "events")
+    write_events(generate_events(spark, 4000, ddl_at=(2000,)), ev)
+    ta = LakeTable(spark, str(tmp_path / "la"), n_buckets=8)
+    ta.init(COLS)
+    CdcPipeline(
+        spark, ev, ta, CheckpointStore(spark, str(tmp_path / "ca")), events_per_batch=900
+    ).run()
+    tb = LakeTable(spark, str(tmp_path / "lb"), n_buckets=8)
+    tb.init(COLS)
+    run_streaming(
+        spark, ev, tb, CheckpointStore(spark, str(tmp_path / "cb")), str(tmp_path / "sb")
+    )
+    a = sorted(
+        (r["repo"], r["path"], r["commit"], r["lang"], r["content"])
+        for r in ta.read().collect()
+    )
+    b = sorted(
+        (r["repo"], r["path"], r["commit"], r["lang"], r["content"])
+        for r in tb.read().collect()
+    )
+    assert a == b and len(a) > 0
+    assert tb.read().columns == ta.read().columns  # DDL applied in both

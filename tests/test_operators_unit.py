@@ -197,12 +197,24 @@ def test_lake_merge_guard_and_pruning(spark, tmp_path):
     t.merge(folded([("r", "p", False, True, (0, 11, 0), 1, None, None, False, False)]), "b4")
     assert t.read().isEmpty()
 
-    # bucket pointers: untouched buckets must be carried, not rewritten
+    # bucket pointers: untouched buckets must be carried, not rewritten.
+    # (the deleted key's bucket still holds its tombstone row) — pick a
+    # second key that provably hashes to a DIFFERENT bucket
+    from debezium_connector_yugabytedb_1_spark.lake import bucket_expr
+
+    def bucket_of(repo, path):
+        return spark.range(1).select(
+            F.pmod(F.xxhash64(F.lit(repo), F.lit(path)), F.lit(4)).alias("b")
+        ).collect()[0]["b"]
+
+    b_rp = bucket_of("r", "p")
+    other = next(
+        f"other{i}" for i in range(50) if bucket_of(f"other{i}", "q") != b_rp
+    )
     m_before = t.manifest()["buckets"]
-    t.merge(folded([("other", "q", True, False, (0, 12, 0), 1, "x", "y", True, True)]), "b5")
+    t.merge(folded([(other, "q", True, False, (0, 12, 0), 1, "x", "y", True, True)]), "b5")
     m_after = t.manifest()["buckets"]
-    carried = set(m_before.items()) & set(m_after.items())
-    assert len(m_before) == 0 or carried or set(m_before) != set(m_after)
+    assert m_after[str(b_rp)] == m_before[str(b_rp)], "untouched bucket rewritten"
     assert v1 < t.manifest()["version"]
 
 
