@@ -121,16 +121,20 @@ def global_sequence(
     first = order_cols[0]
     sess = df.sparkSession
     n = n_ranges or sess.sparkContext.defaultParallelism * 2
-    row = df.agg(
-        F.min(F.col(first).cast("double")).alias("mn"),
-        F.max(F.col(first).cast("double")).alias("mx"),
-    ).collect()[0]
+    dt = df.schema[first].dataType.simpleString()
+    if "timestamp" in dt:
+        fnum = F.unix_micros(F.col(first).cast("timestamp")).cast("double")
+    elif dt == "date":
+        fnum = F.datediff(F.col(first), F.lit("1970-01-01").cast("date")).cast("double")
+    else:
+        fnum = F.col(first).cast("double")
+    row = df.agg(F.min(fnum).alias("mn"), F.max(fnum).alias("mx")).collect()[0]
     if row["mn"] is None:
         return df.withColumn(out_col, F.lit(None).cast("long"))
     mn, mx = float(row["mn"]), float(row["mx"])
     width = max((mx - mn) / n, 1e-9)
     pid = F.least(
-        F.floor((F.col(first).cast("double") - F.lit(mn)) / F.lit(width)).cast("int"),
+        F.floor((fnum - F.lit(mn)) / F.lit(width)).cast("int"),
         F.lit(n - 1),
     )
     counts = {
