@@ -406,8 +406,10 @@ def q_multimodal_meta(spark, sf_dir):
     )
 
     media = attach_fake_media(_docs(spark, sf_dir))
-    feats = extract_features(media)
-    return media.join(feats, "doc_id").select(
+    # metadata rides through the Arrow batch (carry_cols) — no join back to
+    # the media table, one pass over the binary payloads
+    feats = extract_features(media, carry_cols=("media_type", "width", "height"))
+    return feats.select(
         "doc_id",
         "media_type",
         "n_bytes",

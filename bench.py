@@ -29,7 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-EVENTS_PER_SF = 20_000_000  # sf0.1 → 2M events
+EVENTS_PER_SF = 80_000_000  # sf0.1 → 8M events (2 production-size batches)
 
 BENCH_QUERIES = [
     "cdc_typed_decode",
@@ -138,7 +138,9 @@ def alu_control(spark) -> float:
     against the machine's ceiling rather than an assumed 1.0."""
     from pyspark.sql import functions as F
 
-    df = spark.range(0, 40_000_000, 1, 256).select(
+    # sized so the low level runs ~1 min: per-job scheduling overhead
+    # (~0.5-1 s) must be negligible or the control understates the ceiling
+    df = spark.range(0, 160_000_000, 1, 256).select(
         F.sha2(F.concat(F.lit("x"), F.col("id").cast("string")), 256).alias("h")
     )
     df.limit(1000).write.format("noop").mode("overwrite").save()  # warm

@@ -51,14 +51,21 @@ def _fake_decode(payload: bytes) -> np.ndarray:
     return np.frombuffer(payload, dtype=np.uint8)
 
 
-def extract_features(media: DataFrame, n_features: int = 8) -> DataFrame:
+def extract_features(
+    media: DataFrame, n_features: int = 8, carry_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """Decode + feature-extract via mapInPandas: per media row, n_features
     deterministic statistics of the decoded byte tensor (mean/std/moments
     stand in for a CNN embedding). Arrow-batched; zero per-row Python at the
-    Spark boundary."""
+    Spark boundary.
+
+    ``carry_cols``: metadata columns passed THROUGH the same Arrow batch so
+    consumers need no join back to the media table (a media×features join
+    re-shuffles the binary payloads' table for nothing)."""
+    carry = list(carry_cols)
 
     def feats(batches):
-        cols = ["doc_id", "features", "n_bytes"]
+        cols = ["doc_id", *carry, "features", "n_bytes"]
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
@@ -69,12 +76,18 @@ def extract_features(media: DataFrame, n_features: int = 8) -> DataFrame:
                     f = np.array([c.mean() if c.size else 0.0 for c in chunks])
                 rows.append({"doc_id": doc_id, "features": f.tolist(),
                              "n_bytes": int(arr.size)})
+            out = pd.DataFrame(rows, columns=["doc_id", "features", "n_bytes"])
+            for c in carry:
+                out[c] = pdf[c].values if len(out) else pdf[c].values[:0]
             # empty Arrow batches (limit pushdown, empty partitions) must
             # still carry the declared columns
-            yield pd.DataFrame(rows, columns=cols)
+            yield out[cols]
 
-    return media.select("doc_id", "payload").mapInPandas(
-        feats, schema="doc_id long, features array<double>, n_bytes long"
+    carry_ddl = "".join(
+        f", {c} {media.schema[c].dataType.simpleString()}" for c in carry
+    )
+    return media.select("doc_id", "payload", *carry).mapInPandas(
+        feats, schema=f"doc_id long{carry_ddl}, features array<double>, n_bytes long"
     )
 
 
