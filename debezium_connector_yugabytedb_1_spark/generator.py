@@ -63,6 +63,7 @@ def generate_events(
     seed: int = 42,
     hot_repo_pct: int = 25,
     ddl_at: tuple[int, ...] = (),
+    msg_per_mille: int = 0,
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Build the enveloped change-event DataFrame (not yet written anywhere).
@@ -130,6 +131,7 @@ def generate_events(
         .when(opr < 920, F.lit("d"))
         .when(opr < 950, F.lit("t"))
         .when(opr < 970, F.lit("pku"))
+        .when(opr < 970 + msg_per_mille, F.lit("m"))
         .otherwise(F.lit("u"))
     )
     if ddl_at:
@@ -205,6 +207,17 @@ def generate_events(
             ),
         )
         .when(
+            F.col("op") == "m",
+            F.to_json(
+                F.struct(
+                    F.col("txn_id").alias("txid"),
+                    F.concat(F.lit("note-"), F.pmod(F.col("eid"), F.lit(97))).alias(
+                        "note"
+                    ),
+                )
+            ),
+        )
+        .when(
             F.col("op") == "ddl",
             F.to_json(
                 F.struct(
@@ -223,6 +236,17 @@ def generate_events(
         # planners can find touched keys without opening the payload blob
         .withColumn(
             "old_repo", F.when(F.col("op") == "pku", F.col("repo"))
+        )
+        # logical-decoding message prefix (pg_logical_emit_message analogue)
+        .withColumn(
+            "msg_prefix",
+            F.when(
+                F.col("op") == "m",
+                F.element_at(
+                    F.array(F.lit("app.audit"), F.lit("app.signal"), F.lit("ext.other")),
+                    (F.pmod(F.col("eid"), F.lit(3)) + 1).cast("int"),
+                ),
+            ),
         )
         .withColumn(
             "old_path", F.when(F.col("op") == "pku", old_path)
@@ -244,6 +268,7 @@ def generate_events(
         "path",
         "old_repo",
         "old_path",
+        "msg_prefix",
         "schema_version",
         "payload",
     )

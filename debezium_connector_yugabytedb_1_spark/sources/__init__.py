@@ -29,6 +29,7 @@ EVENT_SCHEMA = T.StructType(
         T.StructField("path", T.StringType()),
         T.StructField("old_repo", T.StringType()),
         T.StructField("old_path", T.StringType()),
+        T.StructField("msg_prefix", T.StringType()),
         T.StructField("schema_version", T.IntegerType()),
         T.StructField("payload", T.StringType()),
     ]

@@ -70,6 +70,9 @@ class CdcPipeline:
         table_exclude: str | None = None,
         skipped_ops: tuple[str, ...] = (),
         use_pandas_decode: bool = False,
+        message_sink: MetricsSink | None = None,
+        message_prefix_include: str | None = None,
+        message_prefix_exclude: str | None = None,
     ):
         self.spark = spark
         self.events_path = events_path
@@ -81,6 +84,9 @@ class CdcPipeline:
         self.table_exclude = table_exclude
         self.skipped_ops = skipped_ops
         self.use_pandas_decode = use_pandas_decode
+        self.message_sink = message_sink
+        self.message_prefix_include = message_prefix_include
+        self.message_prefix_exclude = message_prefix_exclude
 
     # ------------------------------------------------------------------
     def _events(self) -> DataFrame:
@@ -296,6 +302,18 @@ class CdcPipeline:
         batch = resume_filter(batch, self.ckpt.load())
         if self.metrics is not None:
             self.metrics.append(batch_metrics(batch, batch_id))
+        if self.message_sink is not None and "msg_prefix" in batch.columns:
+            # logical-decoding message side output
+            # (``LogicalDecodingMessageMonitor.java``)
+            from ..operators.metrics import decode_messages
+
+            self.message_sink.append(
+                decode_messages(
+                    batch,
+                    include=self.message_prefix_include,
+                    exclude=self.message_prefix_exclude,
+                )
+            )
         disp = filters.dispatchable(
             filters.table_filter(batch, self.table_include, self.table_exclude)
         )

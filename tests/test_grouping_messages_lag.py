@@ -117,3 +117,41 @@ def test_decode_messages_binary_modes(spark):
     assert b64["message"]["content"] == "aGVsbG8="
     # no filter: both messages, the DML row never leaks into the side output
     assert decode_messages(_msg_df(spark)).count() == 2
+
+
+def test_pipeline_message_side_output(spark, tmp_path):
+    """End-to-end: op='m' logical-decoding messages flow to the side sink
+    (prefix-filtered), never into the lake table, and replay state matches a
+    message-free run."""
+    from debezium_connector_yugabytedb_1_spark.generator import (
+        generate_events,
+        write_events,
+    )
+    from debezium_connector_yugabytedb_1_spark.lake import LakeTable
+    from debezium_connector_yugabytedb_1_spark.operators.checkpoint import CheckpointStore
+    from debezium_connector_yugabytedb_1_spark.operators.metrics import MetricsSink
+    from debezium_connector_yugabytedb_1_spark.streaming.pipeline import CdcPipeline
+
+    ev_path = str(tmp_path / "events")
+    ev = generate_events(spark, 4000, msg_per_mille=10)
+    write_events(ev, ev_path)
+    n_msgs = ev.where(F.col("op") == "m").count()
+    n_app = ev.where((F.col("op") == "m") & F.col("msg_prefix").startswith("app.")).count()
+    assert n_msgs > 0 and 0 < n_app < n_msgs
+
+    t = LakeTable(spark, str(tmp_path / "lake"), n_buckets=4)
+    t.init([("commit", "string"), ("lang", "string"), ("content", "string")])
+    sink = MetricsSink(str(tmp_path / "messages"))
+    pipe = CdcPipeline(
+        spark, ev_path, t, CheckpointStore(spark, str(tmp_path / "ckpt")),
+        events_per_batch=1500, message_sink=sink,
+        message_prefix_include=r"^app\.",
+    )
+    pipe.run()
+    msgs = sink.read(spark)
+    assert msgs.count() == n_app
+    r = msgs.collect()[0]
+    assert r["op"] == "m" and r["key"]["prefix"].startswith("app.")
+    assert r["message"]["content"] is not None
+    # messages never land in the table
+    assert t.read().where(F.col("commit").isNull() & F.col("content").isNull()).count() == 0
