@@ -175,12 +175,31 @@ def minhash_lsh_pairs(
     With r = n_hashes/bands rows per band, the S-curve crossover sits at
     (1/bands)^(1/r); defaults target J >= 0.5.
 
-    Plan shape: signatures are materialized once (localCheckpoint — cuts the
-    lineage so the self-join and every band read the materialized rows, not
-    a recomputation of the shingle pass), then banded in a single
-    ``posexplode`` projection."""
+    Plan shape: ONE shingle pass over the text. A single
+    ``groupBy(doc_id).collect_set(shingle)`` materializes per-doc shingle
+    sets (localCheckpoint — per-doc-bounded state, the only expensive scan);
+    signatures are then a pure projection over each set
+    (``array_min(transform(sh, s -> xxhash64(s, seed)))`` — no second
+    shuffle, and min over the distinct set equals min over occurrences), and
+    the verify sets read the same materialized rows. With ``max_df`` the
+    df-cap is applied by exploding the cached sets (cheap — no re-shingling
+    of text) and anti-joining the broadcast hot-shingle list."""
     rows = n_hashes // bands
-    sig = minhash_signatures(docs, text_col, k, n_hashes).localCheckpoint()
+    sh = _spread(docs).select(
+        "doc_id", F.explode(word_shingles(text_col, k)).alias("shingle")
+    )
+    per_doc = (
+        sh.groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("sh"))
+        .localCheckpoint()
+    )
+    sig_cols = [
+        F.array_min(
+            F.transform("sh", lambda s: F.xxhash64(s, F.lit(i)))
+        ).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    sig = per_doc.select("doc_id", *sig_cols)
     band_buckets = F.array(
         *[
             F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)])
@@ -209,11 +228,21 @@ def minhash_lsh_pairs(
     # doc length (per-doc state, never per-corpus), and the same ``max_df``
     # cap as ``ngram_jaccard_pairs`` keeps the shingle space identical, so
     # LSH pairs are a strict subset of the exact pairs at equal thresholds.
-    sets = (
-        shingle_index(docs, text_col, k, max_df)
-        .groupBy("doc_id")
-        .agg(F.collect_set("shingle").alias("sh"))
-    )
+    if max_df is None:
+        sets = per_doc
+    else:
+        occ = per_doc.select("doc_id", F.explode("sh").alias("shingle"))
+        hot = (
+            occ.groupBy("shingle")
+            .count()
+            .where(F.col("count") > max_df)
+            .select("shingle")
+        )
+        sets = (
+            occ.join(F.broadcast(hot), "shingle", "left_anti")
+            .groupBy("doc_id")
+            .agg(F.collect_set("shingle").alias("sh"))
+        )
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -256,11 +285,20 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .where(F.col("tok") != "")
     )
+    # Pre-aggregate to (doc_id, tok, count) first so the 64 bit-vote
+    # expressions evaluate once per DISTINCT token, not once per occurrence
+    # (natural text repeats tokens heavily); votes weighted by the count are
+    # bit-for-bit identical to per-occurrence voting. Both aggregations are
+    # fixed-width hash aggs with map-side combine.
+    tok_counts = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
     h = F.xxhash64("tok")
-    votes = toks.groupBy("doc_id").agg(
+    cnt = F.col("cnt")
+    votes = tok_counts.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, cnt).otherwise(-cnt)
             ).alias(f"b{j}")
             for j in range(64)
         ]
@@ -279,19 +317,20 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def simhash_pairs(docs: DataFrame, text_col: str = "text", prefix_bits: int = 16) -> DataFrame:
     """SimHash near-dup candidates: docs sharing any of the 4 16-bit band
     prefixes of their 64-bit signature (Hamming-ball blocking)."""
-    sig = simhash_signatures(docs, text_col)
-    bands = []
-    for i in range(4):
-        bands.append(
-            sig.select(
-                "doc_id",
-                F.lit(i).alias("band"),
-                F.shiftright(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("bucket"),
+    # signatures materialized once (tiny: doc_id + one long) so the banded
+    # self-join reads rows instead of re-running the token aggregation twice
+    sig = simhash_signatures(docs, text_col).localCheckpoint()
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
             )
-        )
-    banded = bands[0]
-    for d in bands[1:]:
-        banded = banded.unionByName(d)
+        ).alias("band", "bucket"),
+    )
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(

@@ -67,18 +67,39 @@ def extract_features(
     def feats(batches):
         cols = ["doc_id", *carry, "features", "n_bytes"]
         for pdf in batches:
-            rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                arr = _fake_decode(bytes(payload))
-                f = np.zeros(n_features)
-                if arr.size:
-                    chunks = np.array_split(arr.astype(np.float64), n_features)
-                    f = np.array([c.mean() if c.size else 0.0 for c in chunks])
-                rows.append({"doc_id": doc_id, "features": f.tolist(),
-                             "n_bytes": int(arr.size)})
-            out = pd.DataFrame(rows, columns=["doc_id", "features", "n_bytes"])
+            n_rows = len(pdf)
+            if n_rows:
+                # Vectorized over the whole Arrow batch: concatenate every
+                # decoded payload into one float array, compute per-row chunk
+                # boundaries replicating np.array_split (first len%n chunks
+                # one element longer), and take chunk means via a single
+                # cumulative sum — no per-row numpy calls, no per-row dicts.
+                payloads = [bytes(p) for p in pdf["payload"]]
+                lens = np.fromiter(
+                    (len(p) for p in payloads), dtype=np.int64, count=n_rows
+                )
+                big = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+                csum = np.concatenate(
+                    ([0.0], np.cumsum(big, dtype=np.float64))
+                )
+                q, r = lens // n_features, lens % n_features
+                sizes = q[:, None] + (np.arange(n_features)[None, :] < r[:, None])
+                row_off = np.concatenate(([0], np.cumsum(lens)))[:-1]
+                ends = row_off[:, None] + np.cumsum(sizes, axis=1)
+                starts = ends - sizes
+                sums = csum[ends] - csum[starts]
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    means = np.where(sizes > 0, sums / sizes, 0.0)
+                features = means.tolist()
+            else:
+                lens = np.zeros(0, dtype=np.int64)
+                features = []
+            out = pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "features": features,
+                 "n_bytes": lens}
+            )
             for c in carry:
-                out[c] = pdf[c].values if len(out) else pdf[c].values[:0]
+                out[c] = pdf[c].values
             # empty Arrow batches (limit pushdown, empty partitions) must
             # still carry the declared columns
             yield out[cols]

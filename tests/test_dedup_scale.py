@@ -98,3 +98,37 @@ def test_simhash_hash_aggregate_not_sort(spark):
     plan = simhash_signatures(docs)._jdf.queryExecution().executedPlan().toString()
     assert "HashAggregate" in plan
     assert "SortAggregate" not in plan
+
+
+def test_simhash_distinct_token_votes_equal_per_occurrence(spark):
+    """The distinct-token weighted voting must be bit-for-bit identical to
+    naive per-occurrence voting (the pre-aggregation is a pure perf
+    rewrite)."""
+    from functools import reduce
+
+    docs = _seeded_docs(spark, n_base=8)
+    # rebuild the per-occurrence variant inline (the old implementation)
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
+        ).alias("tok"),
+    ).where(F.col("tok") != "")
+    h = F.xxhash64("tok")
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{j}")
+            for j in range(64)
+        ]
+    )
+    one = F.lit(1).cast("long")
+    sig = reduce(
+        lambda acc, j: acc.bitwiseOR(
+            F.when(F.col(f"b{j}") > 0, F.shiftleft(one, j)).otherwise(F.lit(0).cast("long"))
+        ),
+        range(64),
+        F.lit(0).cast("long"),
+    )
+    naive = {r["doc_id"]: r["s"] for r in votes.select("doc_id", sig.alias("s")).collect()}
+    fast = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
+    assert naive == fast
