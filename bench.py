@@ -57,11 +57,15 @@ def sf_of(path: str) -> float:
 
 
 SEGMENT_SIZE = 250_000
-CORPUS_VER = "v5"  # bump when the wire schema changes (invalidates /tmp cache)
+CORPUS_VER = "v6"  # bump when the wire schema changes (invalidates /tmp cache)
+#: wire format of the bench corpus: "shredded" (typed struct column — the
+#: scale path: no JSON parse, ~40% fewer bytes touched per event) or "json"
+#: (compatibility variant exercising the from_json decode).
+WIRE = os.environ.get("SPARK_GRAFT_WIRE", "shredded")
 
 
 def corpus_path(n_events: int) -> str:
-    return f"/tmp/ybcdc_bench/events_{CORPUS_VER}_n{n_events}_seg{SEGMENT_SIZE}"
+    return f"/tmp/ybcdc_bench/events_{CORPUS_VER}_{WIRE}_n{n_events}_seg{SEGMENT_SIZE}"
 
 
 def ensure_corpus(spark, n_events: int) -> str:
@@ -81,6 +85,7 @@ def ensure_corpus(spark, n_events: int) -> str:
             n_tablets=64,
             ddl_at=(n_events // 2,),
             num_partitions=64,  # fixed: corpus identical at every core count
+            payload_format=WIRE,
         )
         write_events(ev, path, segment_size=SEGMENT_SIZE)
         open(marker, "w").close()

