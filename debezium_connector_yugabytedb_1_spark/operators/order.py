@@ -72,7 +72,11 @@ def last_writer_wins(
     )
 
 
-def release_gate(df: DataFrame, safetimes: DataFrame) -> tuple[DataFrame, DataFrame]:
+def release_gate(
+    df: DataFrame,
+    safetimes: DataFrame,
+    consumed_tablets: list[str] | None = None,
+) -> tuple[DataFrame, DataFrame]:
     """M1 — the consistent-streaming release gate: a record is released only
     once EVERY tablet's safe time has passed its commit time (the Merger's
     peek gate, ``Merger.java:116-133`` — ``peek`` returns a message only if
@@ -80,11 +84,23 @@ def release_gate(df: DataFrame, safetimes: DataFrame) -> tuple[DataFrame, DataFr
     across tablet safetimes).
 
     ``safetimes``: (tablet_id, safe_time) — the output of
-    ``filters.extract_safepoint_watermark``. Returns ``(released, held)``;
-    held records re-enter the next poll's merge, exactly the reference's
-    pending queue. The gate is a scalar broadcast comparison — no shuffle."""
-    row = safetimes.agg(F.min("safe_time").alias("s")).collect()[0]
-    stream_safetime = row["s"]
+    ``filters.extract_safepoint_watermark``, or the carried-forward map the
+    reference keeps per tablet (``tabletSafeTime``). ``consumed_tablets``:
+    the FULL set of tablets the stream consumes — when given, the gate
+    holds everything unless every consumed tablet has a known safetime
+    (a tablet with events but no safepoint yet has an unknown safetime and
+    must constrain the gate, ``YugabyteDBConsistentStreamingSource
+    .java:174-254``). Returns ``(released, held)``; held records re-enter
+    the next poll's merge, exactly the reference's pending queue. The gate
+    is a scalar broadcast comparison — no shuffle.
+
+    For the stateful multi-trigger form (safetimes carried across polls,
+    pending store on disk) see ``streaming.gate.ConsistentGate``."""
+    rows = safetimes.collect()
+    have = {r["tablet_id"]: r["safe_time"] for r in rows if r["safe_time"] is not None}
+    if consumed_tablets is not None and not set(consumed_tablets) <= set(have):
+        return df.where(F.lit(False)), df  # some tablet's safetime unknown
+    stream_safetime = min(have.values()) if have else None
     if stream_safetime is None:  # no safepoint seen yet: nothing is safe
         return df.where(F.lit(False)), df
     released = df.where(F.col("commit_time") <= F.lit(stream_safetime))

@@ -17,8 +17,7 @@ Ordering contract: the file source groups rows by file listing, not offset.
 Row-level semantics are fully order-free — tombstone rows persist delete
 offsets, so inserts/updates/deletes arriving across triggers in ANY order
 converge (``test_out_of_order_delete_no_resurrection``). Two constructs
-still assume per-key in-order delivery, which real transports provide
-(Kafka partitions by key; the batch pipeline windows the WAL by offset):
+assume per-key in-order delivery across triggers:
 
 - per-COLUMN last-writer-wins for *partial* updates: the stored row keeps
   one offset, not per-column offsets, so a column set at offset 25 arriving
@@ -26,8 +25,13 @@ still assume per-key in-order delivery, which real transports provide
 - DDL placement: a DDL arriving in a later trigger than events beyond it
   folds those events under the older schema.
 
-A transport without per-key order should gate triggers on the safepoint
-watermark (``order.release_gate``) to restore order at trigger granularity.
+Passing ``gate=ConsistentGate(...)`` closes both for transports that only
+guarantee per-TABLET order (the reference's actual contract): each trigger
+releases the commit-time prefix below the min-over-all-tablets safetime and
+carries the rest to the next trigger — the reference Merger's pending
+queue (``Merger.java:116-133``). Convergence with the offset-ordered batch
+pipeline, including partial updates and a mid-stream DDL under cross-tablet
+disorder, is asserted in ``test_consistent_gate.py``.
 """
 
 from __future__ import annotations
@@ -48,6 +52,7 @@ def apply_batch(
     batch_id: int | str,
     table: LakeTable,
     ckpt: CheckpointStore,
+    gate=None,
 ) -> None:
     """The foreachBatch body — identical operator chain to CdcPipeline
     (minus index windowing, which Spark's source handles).
@@ -64,6 +69,13 @@ def apply_batch(
     the batch pipeline."""
     import json
 
+    if gate is not None:
+        # consistent mode: offsets are committed for the CONSUMED batch
+        # (held rows are durable in the gate's pending store, so they are
+        # not lost on restart); the gate then narrows what this trigger
+        # applies to the released commit-time prefix
+        ckpt.commit(batch_offsets(batch))
+        batch = gate.process(batch, batch_id)
     # DDL cut within the trigger: apply each DDL exactly at its offset, with
     # the events before/after it folded under the schema of their time —
     # same semantics as CdcPipeline._process_window
@@ -89,7 +101,8 @@ def apply_batch(
         decoded = decode_envelope(sub, columns=table.columns)
         # fused fold+MERGE — same hot path as CdcPipeline
         table.merge_events(split_pk_updates(decoded), f"stream-{batch_id}-{i}")
-    ckpt.commit(batch_offsets(batch))
+    if gate is None:
+        ckpt.commit(batch_offsets(batch))
 
 
 def run_streaming(
@@ -99,16 +112,23 @@ def run_streaming(
     ckpt: CheckpointStore,
     checkpoint_location: str,
     available_now: bool = True,
+    gate=None,
 ) -> None:
     """Run the streaming pipeline until the available data is exhausted
     (availableNow) — the bounded-test mode; drop the trigger for continuous
-    tailing in production."""
+    tailing in production. With ``gate`` (consistent mode), a bounded run
+    drains the gate's pending store after the source is exhausted (end of
+    log ⇒ commit-order release is trivially satisfied for the tail)."""
     stream = read_event_stream(spark, events_path)
     writer = stream.writeStream.foreachBatch(
-        lambda df, bid: apply_batch(df, bid, table, ckpt)
+        lambda df, bid: apply_batch(df, bid, table, ckpt, gate=gate)
     ).option("checkpointLocation", checkpoint_location)
     if available_now:
         q = writer.trigger(availableNow=True).start()
     else:
         q = writer.start()
     q.awaitTermination()
+    if gate is not None and available_now:
+        drained = gate.flush()
+        if drained is not None:
+            apply_batch(drained, "gate-flush", table, ckpt)

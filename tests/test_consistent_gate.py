@@ -1,0 +1,116 @@
+"""M1 integration — the consistent-mode release gate wired into the
+streaming front-end.
+
+Transport model (the reference's actual contract): per-TABLET order is
+preserved, cross-tablet interleaving is arbitrary. The scenario below
+delivers every OTHER tablet's full stream first and the DDL-carrying
+tablet's stream last — without the gate, post-DDL events of the early
+tablets fold under the old schema (the documented DDL-placement caveat);
+with the gate, nothing is released until every consumed tablet has a known
+safetime, so the merged prefixes are commit-order-complete and the result
+converges to the offset-ordered batch pipeline exactly.
+"""
+
+import os
+
+import pyspark.sql.functions as F
+
+from debezium_connector_yugabytedb_1_spark.generator import generate_events, write_events
+from debezium_connector_yugabytedb_1_spark.lake import LakeTable
+from debezium_connector_yugabytedb_1_spark.operators.checkpoint import CheckpointStore
+from debezium_connector_yugabytedb_1_spark.streaming.gate import ConsistentGate
+from debezium_connector_yugabytedb_1_spark.streaming.pipeline import CdcPipeline
+from debezium_connector_yugabytedb_1_spark.streaming.stream import apply_batch
+
+N = 4000
+N_TABLETS = 4
+DDL = (N // 2,)
+
+
+def _corpus(spark):
+    return generate_events(
+        spark, N, n_tablets=N_TABLETS, ddl_at=DDL, payload_format="shredded"
+    ).localCheckpoint()
+
+
+def _expected(spark, tmp, ev):
+    """Offset-ordered batch replay — ground truth."""
+    evp = os.path.join(tmp, "events")
+    write_events(ev, evp, segment_size=1000)
+    t = LakeTable(spark, os.path.join(tmp, "lake_ref"), n_buckets=4)
+    t.init([("commit", "string"), ("lang", "string"), ("content", "string")])
+    CdcPipeline(
+        spark, evp, t, CheckpointStore(spark, os.path.join(tmp, "ck_ref")),
+        events_per_batch=1500,
+    ).run()
+    return {tuple(r) for r in t.read().collect()}
+
+
+def _triggers(spark, ev):
+    """Per-tablet order kept; the DDL tablet's whole stream arrives LAST."""
+    ddl_tab = ev.where(F.col("op") == "ddl").select("tablet_id").first()["tablet_id"]
+    t1 = ev.where(F.col("tablet_id") != ddl_tab)
+    t2 = ev.where(F.col("tablet_id") == ddl_tab)
+    all_tablets = [r["tablet_id"] for r in ev.select("tablet_id").distinct().collect()]
+    return [t1, t2], all_tablets
+
+
+def _streamed(spark, tmp, triggers, tablets, use_gate):
+    t = LakeTable(spark, os.path.join(tmp, "lake_s"), n_buckets=4)
+    t.init([("commit", "string"), ("lang", "string"), ("content", "string")])
+    ck = CheckpointStore(spark, os.path.join(tmp, "ck_s"))
+    gate = ConsistentGate(spark, os.path.join(tmp, "gate"), tablets=tablets) if use_gate else None
+    for i, trig in enumerate(triggers):
+        apply_batch(trig, i, t, ck, gate=gate)
+    if gate is not None:
+        drained = gate.flush()
+        if drained is not None:
+            apply_batch(drained, "gate-flush", t, ck)
+    return {tuple(r) for r in t.read().collect()}
+
+
+def test_gated_stream_converges_to_batch_under_cross_tablet_disorder(
+    spark, tmp_path
+):
+    ev = _corpus(spark)
+    expected = _expected(spark, str(tmp_path), ev)
+    triggers, tablets = _triggers(spark, ev)
+    got = _streamed(spark, str(tmp_path / "gated"), triggers, tablets, use_gate=True)
+    assert got == expected
+
+
+def test_ungated_stream_diverges_on_ddl_placement(spark, tmp_path):
+    """The scenario has teeth: without the gate the early tablets' post-DDL
+    events decode under the pre-DDL schema and their stars values are lost."""
+    ev = _corpus(spark)
+    expected = _expected(spark, str(tmp_path), ev)
+    triggers, tablets = _triggers(spark, ev)
+    got = _streamed(spark, str(tmp_path / "raw"), triggers, tablets, use_gate=False)
+    assert got != expected
+
+
+def test_gate_holds_all_while_any_tablet_safetime_unknown(spark, tmp_path):
+    ev = _corpus(spark)
+    triggers, tablets = _triggers(spark, ev)
+    gate = ConsistentGate(spark, str(tmp_path / "g"), tablets=tablets)
+    released = gate.process(triggers[0], 0)
+    assert released.count() == 0  # the DDL tablet has not spoken yet
+    assert gate.stream_safetime() is None
+    released2 = gate.process(triggers[1], 1)
+    assert released2.count() > 0
+    # released prefix is exactly the commit-time ball below the stream safetime
+    st = gate.stream_safetime()
+    assert st is not None
+    assert released2.where(F.col("commit_time") > st).count() == 0
+
+
+def test_gate_pending_survives_restart(spark, tmp_path):
+    ev = _corpus(spark)
+    triggers, tablets = _triggers(spark, ev)
+    path = str(tmp_path / "g2")
+    ConsistentGate(spark, path, tablets=tablets).process(triggers[0], 0)
+    # fresh object over the same store: state + pending carried
+    g2 = ConsistentGate(spark, path, tablets=tablets)
+    assert g2.flush().count() == triggers[0].where(
+        ~F.col("op").isin("SAFEPOINT", "NOOP", "BEGIN", "COMMIT")
+    ).count()
