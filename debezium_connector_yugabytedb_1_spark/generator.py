@@ -66,6 +66,7 @@ def generate_events(
     msg_per_mille: int = 0,
     num_partitions: int | None = None,
     payload_format: str = "json",
+    txn_markers: bool = False,
 ) -> DataFrame:
     """Build the enveloped change-event DataFrame (not yet written anywhere).
 
@@ -300,7 +301,67 @@ def generate_events(
     ]
     if payload_format == "shredded":
         cols.append("change")
-    return df.select(*cols)
+    out = df.select(*cols)
+    if txn_markers:
+        out = out.unionByName(_txn_marker_rows(out), allowMissingColumns=True)
+    return out
+
+
+def _txn_marker_rows(events: DataFrame) -> DataFrame:
+    """Transaction-boundary records: one BEGIN / COMMIT pair per
+    (txn, tablet) stream fragment, interleaved with the DML exactly as the
+    reference's streaming source books them
+    (``YugabyteDBStreamingChangeEventSource.java:626-686``): BEGIN shares
+    the commit time of the transaction's first record and COMMIT of its
+    last, both with ``record_time`` NULL — equal-commit-time ordering then
+    comes from the comparator's BEGIN < DML < COMMIT law
+    (``Message.compareTo:64-79``, mirrored by ``order.msg_rank``).
+
+    Marker offsets sit just outside the fragment's DML slots
+    (``write_id`` −1 / +1 around the boundary rows), keeping per-tablet
+    offset order consistent with commit order."""
+    dml = events.where(F.col("op").isin("c", "r", "u", "d", "t", "pku", "m"))
+    g = dml.groupBy("txn_id", "tablet_id").agg(
+        F.min(F.struct("commit_time", "term", "index", "write_id")).alias("b"),
+        F.max(F.struct("commit_time", "term", "index", "write_id")).alias("e"),
+        F.first("table").alias("table"),
+    )
+    mk = g.select(
+        "txn_id",
+        "tablet_id",
+        "table",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("BEGIN").alias("op"),
+                    F.col("b.commit_time").alias("commit_time"),
+                    F.col("b.term").alias("term"),
+                    F.col("b.index").alias("index"),
+                    (F.col("b.write_id") - 1).alias("write_id"),
+                ),
+                F.struct(
+                    F.lit("COMMIT").alias("op"),
+                    F.col("e.commit_time").alias("commit_time"),
+                    F.col("e.term").alias("term"),
+                    F.col("e.index").alias("index"),
+                    (F.col("e.write_id") + 1).alias("write_id"),
+                ),
+            )
+        ).alias("m"),
+    )
+    return mk.select(
+        "txn_id",
+        "tablet_id",
+        "table",
+        F.col("m.op").alias("op"),
+        F.col("m.commit_time").alias("commit_time"),
+        F.col("m.term").alias("term"),
+        F.col("m.index").alias("index"),
+        F.col("m.write_id").alias("write_id"),
+        F.lit(None).cast("long").alias("record_time"),
+        F.lit(None).cast("long").alias("eid"),
+        F.lit(None).cast("string").alias("payload"),
+    )
 
 
 def write_events(

@@ -115,11 +115,30 @@ def decode_messages(
 
 
 def txn_metadata(events: DataFrame) -> DataFrame:
-    """T1 — optional transaction-boundary metadata stream: per txn, event
-    count + commit-time span (analogue of BEGIN/END metadata records,
-    ``YugabyteDBTransactionMonitor.java``)."""
-    return events.where(F.col("op").isin("c", "u", "d")).groupBy("txn_id").agg(
-        F.count(F.lit(1)).alias("event_count"),
-        F.min("commit_time").alias("begin_time"),
-        F.max("commit_time").alias("end_time"),
+    """T1 — transaction-boundary metadata stream: per txn, event count +
+    commit-time span (analogue of BEGIN/END metadata records,
+    ``YugabyteDBTransactionMonitor.java``).
+
+    When the stream carries real BEGIN/COMMIT marker records
+    (``generate_events(txn_markers=True)``, the reference's bookkeeping at
+    ``YugabyteDBStreamingChangeEventSource.java:626-686``), the span comes
+    from the markers themselves — begin = min BEGIN commit time, end = max
+    COMMIT commit time across the txn's tablet fragments; otherwise both
+    fall back to the applied-DML span (markers span ALL of the txn's
+    records, so they can widen the span beyond the c/u/d subset)."""
+    is_dml = F.col("op").isin("c", "u", "d")
+    return (
+        events.where(is_dml | F.col("op").isin("BEGIN", "COMMIT"))
+        .groupBy("txn_id")
+        .agg(
+            F.sum(is_dml.cast("long")).alias("event_count"),
+            F.coalesce(
+                F.min(F.when(F.col("op") == "BEGIN", F.col("commit_time"))),
+                F.min(F.when(is_dml, F.col("commit_time"))),
+            ).alias("begin_time"),
+            F.coalesce(
+                F.max(F.when(F.col("op") == "COMMIT", F.col("commit_time"))),
+                F.max(F.when(is_dml, F.col("commit_time"))),
+            ).alias("end_time"),
+        )
     )

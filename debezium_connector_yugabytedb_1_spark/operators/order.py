@@ -108,12 +108,28 @@ def release_gate(
     return released, held
 
 
+def msg_rank() -> Column:
+    """The Merger comparator's equal-commit-time law
+    (``Message.compareTo:64-79``): BEGIN sorts before everything, COMMIT
+    after everything, and only non-marker records fall through to the
+    record-time comparison."""
+    return (
+        F.when(F.col("op") == "BEGIN", F.lit(0))
+        .when(F.col("op") == "COMMIT", F.lit(2))
+        .otherwise(F.lit(1))
+    )
+
+
 def commit_time_order(df: DataFrame) -> DataFrame:
     """M1 — consistent release order within a micro-batch: sort by
-    ``(commit_time, record_time, offset)`` (the Merger's comparator,
-    ``Message.compareTo:64-79``). Range-partitioned sort; used when a
-    consumer needs cross-tablet commit order, not for state replay."""
-    return df.orderBy("commit_time", "record_time", "term", "index", "write_id")
+    ``(commit_time, BEGIN<DML<COMMIT, record_time, offset)`` (the Merger's
+    comparator, ``Message.compareTo:64-79`` — commit time first, then the
+    txn-marker law, then record time for non-markers). Range-partitioned
+    sort; used when a consumer needs cross-tablet commit order, not for
+    state replay."""
+    return df.orderBy(
+        "commit_time", msg_rank(), "record_time", "term", "index", "write_id"
+    )
 
 
 def global_sequence(
