@@ -335,7 +335,10 @@ def q_ann_lsh_topk(spark, sf_dir):
 
     emb = _emb(spark, sf_dir)
     q = emb.where(F.col("vec_id") < 10)
-    return lsh_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    # dim passed explicitly: the testdata embeddings are 64-wide, and the
+    # default's driver-side .first() probe would serialize a scan into the
+    # query path
+    return lsh_topk(emb, q, k=5, dim=64).select("query_id", "neighbor_id")
 
 
 def q_dedup_embedding_cosine(spark, sf_dir):
@@ -503,6 +506,35 @@ def q_cdc_typed_decode(spark, sf_dir):
     inet_wire = F.concat(F.lit(" FE80::"), F.pmod(i, F.lit(10)).cast("string"), F.lit(" "))
     range_wire = F.concat(F.lit("["), i.cast("string"), F.lit(","), (i + 10).cast("string"), F.lit(")"))
 
+    # r3 additions: variable-scale NUMERIC beyond decimal(38,18) (textual
+    # exactness path), quoted/escaped text-array elements (PgArray parse),
+    # EWKB geometry with/without the SRID flag
+    bigdec_wire = F.when(
+        m < 5, F.concat(F.lit("1"), i.cast("string"), F.lit("0" * 19), F.lit(".10"))
+    ).otherwise(
+        F.concat(
+            F.lit("0."), F.lpad(F.pmod(i, F.lit(1000)).cast("string"), 3, "0"),
+            F.lit("0" * 16), F.lit("500"),
+        )
+    )
+    qarr_wire = F.concat(
+        F.lit('{"x,'), i.cast("string"), F.lit('","q\\"z",NULL,plain'),
+        i.cast("string"), F.lit("}"),
+    )
+    h32 = F.lpad(F.lower(F.hex(i)), 8, "0")
+    srid_le = F.concat(
+        F.substring(h32, 7, 2), F.substring(h32, 5, 2),
+        F.substring(h32, 3, 2), F.substring(h32, 1, 2),
+    )
+    geom_wire = F.when(
+        F.pmod(i, F.lit(2)) == 0,
+        F.concat(
+            F.lit("0101000020"), srid_le,
+            F.lit("000000000000f03f0000000000000040"),
+        ),
+    ).otherwise(F.lit("0101000000000000000000f03f0000000000000040"))
+    g = C.convert_geometry(geom_wire)
+
     arr = C.convert_array(arr_wire, "bigint")
     pt = C.convert_point(point_wire)
     return base.select(
@@ -531,6 +563,10 @@ def q_cdc_typed_decode(spark, sf_dir):
         pt["y"].alias("py"),
         C.convert_inet(inet_wire).alias("inet_norm"),
         C.convert_range(range_wire).alias("range_str"),
+        C.convert_decimal(bigdec_wire, mode="precise", scale=None).alias("dec_big"),
+        F.array_join(C.convert_array(qarr_wire, "string"), "|", "N").alias("arr_quoted"),
+        F.lower(F.hex(g["wkb"])).alias("geom_wkb_hex"),
+        g["srid"].cast("long").alias("geom_srid"),
     )
 
 
@@ -608,7 +644,18 @@ def oracle_sql() -> dict[str, str]:
               i + 0.5 AS px,
               -i - 0.25 AS py,
               'fe80::' || (i % 10) AS inet_norm,
-              '[' || i || ',' || (i + 10) || ')' AS range_str
+              '[' || i || ',' || (i + 10) || ')' AS range_str,
+              CASE WHEN i % 10 < 5 THEN '1' || i::VARCHAR || repeat('0', 19) || '.1'
+                   ELSE '0.' || lpad((i % 1000)::VARCHAR, 3, '0') || repeat('0', 16) || '5'
+              END AS dec_big,
+              'x,' || i || '|q"z|N|plain' || i AS arr_quoted,
+              CASE WHEN i % 2 = 0 THEN
+                '0101000020'
+                  || substr(printf('%08x', i), 7, 2) || substr(printf('%08x', i), 5, 2)
+                  || substr(printf('%08x', i), 3, 2) || substr(printf('%08x', i), 1, 2)
+                  || '000000000000f03f0000000000000040'
+              ELSE '0101000000000000000000f03f0000000000000040' END AS geom_wkb_hex,
+              (CASE WHEN i % 2 = 0 THEN i END)::BIGINT AS geom_srid
             FROM base
         """,
         "cdc_lww_dedup": f"""

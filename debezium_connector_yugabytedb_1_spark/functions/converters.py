@@ -70,11 +70,28 @@ def convert_decimal(
         return c.cast("double")  # Spark parses NaN/Infinity/-Infinity natively
     if scale is None:
         # variable-scale precise: exact textual value, canonicalized
-        num = c.cast(f"decimal({precision},18)")
+        # (``convertDecimal :560-567`` stripTrailingZeros). Values inside
+        # decimal(38,18) canonicalize through the decimal cast; anything
+        # outside (>20 integer digits — ANSI cast would throw — or >18
+        # fractional digits — cast would silently round) falls back to a
+        # purely textual trailing-zero strip, preserving the exact wire
+        # value like the reference.
+        num = c.try_cast(f"decimal({precision},18)")
+        frac_digits = F.length(F.regexp_extract(c, r"\.(\d+)$", 1))
+        exact = num.isNotNull() & (frac_digits <= 18)
         stripped = F.regexp_replace(
             F.regexp_replace(num.cast("string"), r"(\.\d*?)0+$", "$1"), r"\.$", ""
         )
-        return F.when(c.isin(NAN, POS_INF, NEG_INF), F.lit(None)).otherwise(stripped)
+        textual = F.regexp_replace(  # leading-zero strip = BigDecimal parity
+            F.regexp_replace(
+                F.regexp_replace(F.trim(c), r"^(-?)0+(?=\d)", "$1"),
+                r"(\.\d*?)0+$", "$1",
+            ),
+            r"\.$", "",
+        )
+        return F.when(c.isin(NAN, POS_INF, NEG_INF), F.lit(None)).otherwise(
+            F.when(exact, stripped).otherwise(textual)
+        )
     return F.when(c.isin(NAN, POS_INF, NEG_INF), F.lit(None)).otherwise(
         c.cast(f"decimal({precision},{scale})")
     )
@@ -102,7 +119,9 @@ def convert_timestamp_micros(col: Column | str) -> Column:
         F.when(c == "infinity", F.lit(POSITIVE_INFINITY_MICROS))
         .when(c == "-infinity", F.lit(NEGATIVE_INFINITY_MICROS))
         .otherwise(
-            F.unix_micros(F.to_timestamp(c).cast("timestamp_ntz").cast("timestamp"))
+            # session.py pins spark.sql.session.timeZone=UTC, so the naive
+            # wire string is interpreted as UTC and the result is stable
+            F.unix_micros(F.to_timestamp(c))
         )
     )
 
@@ -165,7 +184,13 @@ def convert_interval(col: Column | str, mode: str = "numeric") -> Column:
 # ---------------------------------------------------------------- containers
 def convert_hstore(col: Column | str, mode: str = "map") -> Column:
     """HSTORE wire text ``"k"=>"v", ...`` → map<string,string> or a JSON
-    string (``convertHStore :575-580``, json writer ``:655-667``)."""
+    string (``convertHStore :575-580``, json writer ``:655-667``).
+
+    Parse limits (regex tokenizer): keys/values containing escaped quotes
+    (``\\\"``) or the literal separator sequences ``", "`` / ``"=>"``
+    INSIDE a value mis-split — the reference delegates to the JDBC HStore
+    converter for those; out of scope here, mirroring ``convert_array``'s
+    pre-r3 stance on exotic quoting."""
     c = _c(col)
     # strip the quoting the hstore text format applies, then split
     normalized = F.regexp_replace(c, r'"\s*=>\s*"', "\x01")
@@ -186,20 +211,33 @@ def _strip_braces(c: Column) -> Column:
 def convert_array(col: Column | str, element_type: str = "string") -> Column:
     """PG array literal ``{a,b,c}`` → typed Spark array. Covers the int2/
     int4/int8/float4/float8/bool/numeric/uuid/text element families of the
-    reference's array OIDs (``:224-293``). NULL elements spelled ``NULL``
-    become real NULLs. (Quoted text elements with embedded commas are out of
-    scope — the reference's JDBC driver owns that parse.)"""
+    reference's array OIDs (``:224-293``).
+
+    Full text-element quoting rules (the JDBC ``PgArray`` parse the
+    reference delegates to, ``YbProtoColumnValue.java:312-343``): elements
+    are tokenized with commas INSIDE double-quoted runs kept together,
+    outer quotes stripped, backslash escapes (``\\\"``, ``\\\\``)
+    unescaped. An unquoted ``NULL`` is a real NULL; a quoted ``\"NULL\"``
+    is the 4-char string."""
     c = _c(col)
     body = _strip_braces(c)
-    arr = F.when(F.trim(body) == "", F.array().cast("array<string>")).otherwise(
-        F.split(body, ",")
-    )
-    cleaned = F.transform(
-        arr,
-        lambda x: F.when(F.trim(x) == "NULL", F.lit(None)).otherwise(
-            F.regexp_replace(F.trim(x), r'^"|"$', "")
-        ),
-    )
+    # one token per element: quoted runs (with escapes) or unquoted chars
+    toks = F.regexp_extract_all(body, F.lit(r'(?:"(?:[^"\\]|\\.)*"|[^,])+'), 0)
+    arr = F.when(F.trim(body) == "", F.array().cast("array<string>")).otherwise(toks)
+
+    def clean(x):
+        t = F.trim(x)
+        quoted = t.rlike(r'^".*"$')
+        unq = F.regexp_replace(  # strip outer quotes, then unescape \" \\
+            F.regexp_replace(t, r'^"|"$', ""), r"\\(.)", "$1"
+        )
+        return (
+            F.when(~quoted & (t == "NULL"), F.lit(None))
+            .when(quoted, unq)
+            .otherwise(t)
+        )
+
+    cleaned = F.transform(arr, clean)
     if element_type == "string":
         return cleaned
     return cleaned.cast(f"array<{element_type}>")
@@ -268,6 +306,38 @@ def convert_point(col: Column | str) -> Column:
     )
 
 
+def _hex_uint32(hexstr: Column, pos: int, little_endian: Column) -> Column:
+    """Read a uint32 at 1-based char offset ``pos`` of a hex string, in
+    either byte order."""
+    le = F.concat(
+        F.substring(hexstr, pos + 6, 2),
+        F.substring(hexstr, pos + 4, 2),
+        F.substring(hexstr, pos + 2, 2),
+        F.substring(hexstr, pos, 2),
+    )
+    be = F.substring(hexstr, pos, 8)
+    return F.conv(F.when(little_endian, le).otherwise(be), 16, 10).cast("long")
+
+
+def convert_geometry(col: Column | str) -> Column:
+    """GEOMETRY/GEOGRAPHY hex-EWKB → struct<wkb binary, srid int> — the
+    Debezium geometry value shape (``convertGeometry/convertGeography
+    :815-872``, ``PostgisGeometry.fromHexEwkb``): ``wkb`` keeps the raw
+    EWKB bytes; ``srid`` is extracted when the EWKB type word carries the
+    0x20000000 SRID flag (4 bytes after the type word, same byte order),
+    NULL otherwise. Pure expressions — byte order from the leading
+    01/00 marker, words read straight off the hex text."""
+    c = F.upper(F.trim(_c(col)))
+    le = F.substring(c, 1, 2) == "01"
+    typ = _hex_uint32(c, 3, le)
+    has_srid = typ.bitwiseAND(F.lit(0x20000000)) != 0
+    srid = F.when(has_srid, _hex_uint32(c, 11, le).cast("int"))
+    return F.when(
+        c.isNotNull() & (F.length(c) >= 10),
+        F.struct(F.unhex(c).alias("wkb"), srid.alias("srid")),
+    )
+
+
 def convert_inet(col: Column | str) -> Column:
     """INET/CIDR/MACADDR → string (reference ``:204-210``), normalized
     lowercase."""
@@ -301,6 +371,8 @@ CONVERTERS = {
     "bit": convert_bit,
     "varbit": convert_varbit_bytes,
     "point": convert_point,
+    "geometry": convert_geometry,
+    "geography": convert_geometry,
     "inet": convert_inet,
     "cidr": convert_inet,
     "macaddr": convert_inet,

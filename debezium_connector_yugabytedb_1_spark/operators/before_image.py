@@ -1,16 +1,22 @@
 """X1 — before-image modes.
 
-Reference: ``HelperBeforeImageModes.java:6-49`` defines CHANGE (default:
-changed columns only, no before image), FULL (full before+after),
-FULL_ROW_NEW_IMAGE, MODIFIED_COLUMNS_OLD_AND_NEW_IMAGES, CHANGE_OLD_NEW,
-ALL, NOTHING; gated in ``YugabyteDBChangeRecordEmitter.java:118-123``.
+Reference: ``HelperBeforeImageModes.java:6-49`` defines the 8 modes —
+ALL / CHANGE (default) / FULL_ROW_NEW_IMAGE /
+MODIFIED_COLUMNS_OLD_AND_NEW_IMAGES / FULL / CHANGE_OLD_NEW / DEFAULT /
+NOTHING — gated in ``YugabyteDBChangeRecordEmitter.java:118-123``. Per the
+mode, an event's OLD image carries the full prior row, the modified
+columns' prior values, only the key (DELETE under DEFAULT), or nothing;
+and its NEW image is either the changed columns as delivered (CHANGE
+family) or the entire updated row (FULL family — unchanged columns filled
+from the prior image).
 
 Replay state only needs (after, op, offset); before images are *lineage* —
-consumed by diff/audit pipelines. Spark-first: the before image of an event
-is the previous image of its key, i.e. a ``lag`` over the per-key offset
-window. That reconstructs FULL before images from a CHANGE stream without
-the source having to ship them (the reference needs server cooperation for
-this; a batch engine gets it for free from history).
+consumed by diff/audit pipelines. Spark-first: the prior image of an event
+is the previous image of its key, i.e. a ``last(..., ignorenulls) OVER``
+per-key offset window up to 1 PRECEDING. That reconstructs FULL before
+images from a CHANGE stream without the source having to ship them (the
+reference needs server cooperation for this; a batch engine gets it for
+free from history).
 """
 
 from __future__ import annotations
@@ -25,11 +31,26 @@ from .emit import DELETE_OPS, UPSERT_OPS
 
 
 class BeforeImageMode(str, Enum):
-    CHANGE = "CHANGE"                  # default: no before image
+    ALL = "ALL"                        # full before + full after (legacy FULL)
+    CHANGE = "CHANGE"                  # default: changed cols only, no before
     FULL = "FULL"                      # full before + full after
-    FULL_ROW_NEW_IMAGE = "FULL_ROW_NEW_IMAGE"          # full after only
+    FULL_ROW_NEW_IMAGE = "FULL_ROW_NEW_IMAGE"  # full after; full before on DELETE
     MODIFIED_COLUMNS_OLD_AND_NEW = "MODIFIED_COLUMNS_OLD_AND_NEW_IMAGES"
-    NOTHING = "NOTHING"
+    CHANGE_OLD_NEW = "CHANGE_OLD_NEW"  # old+new of modified cols (new-name twin)
+    DEFAULT = "DEFAULT"                # full after; key-only before on DELETE
+    NOTHING = "NOTHING"                # no before for any op
+
+
+#: modes whose NEW image is the entire updated row (unchanged columns
+#: filled from the prior image) rather than the changed columns as shipped
+_FULL_AFTER_MODES = frozenset(
+    {
+        BeforeImageMode.ALL,
+        BeforeImageMode.FULL,
+        BeforeImageMode.FULL_ROW_NEW_IMAGE,
+        BeforeImageMode.DEFAULT,
+    }
+)
 
 
 def reconstruct_before_images(
@@ -38,18 +59,20 @@ def reconstruct_before_images(
     columns=TABLE_COLUMNS,
     key_cols=("repo", "path"),
 ) -> DataFrame:
-    """Attach a ``before`` struct per event by folding the key's history up
-    to (exclusive) the event's offset.
+    """Attach the mode's ``before`` struct (and widen ``after`` to the full
+    row for the FULL-after modes) by folding the key's history up to
+    (exclusive) the event's offset.
 
     Implementation: per key, running last-set value of every column via a
     window ``last(value_if_set, ignorenulls) OVER (... ROWS BETWEEN
     UNBOUNDED PRECEDING AND 1 PRECEDING)``, nulled out across delete
     barriers. One shuffle + per-key sort (lineage path, not the hot replay
-    path)."""
+    path); every mode shares the same single window pass."""
+    mode = BeforeImageMode(mode)
     if mode == BeforeImageMode.NOTHING:
-        return decoded.withColumn("before", F.lit(None).cast("string")).drop("before")
-    if mode in (BeforeImageMode.CHANGE, BeforeImageMode.FULL_ROW_NEW_IMAGE):
         return decoded
+    if mode == BeforeImageMode.CHANGE:
+        return decoded  # the wire format already is changed-columns-only
 
     w = (
         W.partitionBy(*key_cols)
@@ -58,7 +81,8 @@ def reconstruct_before_images(
     )
     off = F.struct("term", "index", "write_id")
     last_del = F.max(F.when(F.col("op").isin(*DELETE_OPS), off)).over(w)
-    fields = []
+    is_del = F.col("op").isin(*DELETE_OPS)
+    prior, before_fields, after_fields = {}, [], []
     for c in columns:
         last_set = F.last(
             F.when(
@@ -70,8 +94,37 @@ def reconstruct_before_images(
         live = last_set.isNotNull() & (
             last_del.isNull() | (last_set["off"] > last_del)
         )
-        val = F.when(live, last_set["v"])
-        if mode == BeforeImageMode.MODIFIED_COLUMNS_OLD_AND_NEW:
-            val = F.when(cell_set(c), val)  # old images only for changed cols
-        fields.append(val.alias(c))
-    return decoded.withColumn("before", F.struct(*fields))
+        prior[c] = F.when(live, last_set["v"])
+        if mode in (
+            BeforeImageMode.MODIFIED_COLUMNS_OLD_AND_NEW,
+            BeforeImageMode.CHANGE_OLD_NEW,
+        ):
+            # old images only for the columns this event modified
+            before_fields.append(F.when(cell_set(c), prior[c]).alias(c))
+        elif mode == BeforeImageMode.DEFAULT:
+            # key-only old image for DELETE (the key is the top-level
+            # repo/path; value columns stay null), nothing otherwise
+            before_fields.append(F.lit(None).cast(
+                decoded.schema["after"].dataType[c].dataType
+            ).alias(c))
+        else:  # ALL / FULL / FULL_ROW_NEW_IMAGE: full prior row
+            before_fields.append(prior[c].alias(c))
+        # FULL-after modes: unchanged columns of an upsert fill from prior
+        after_fields.append(
+            F.when(~is_del, F.when(cell_set(c), F.col(f"after.{c}")).otherwise(prior[c])).alias(c)
+        )
+    before = F.struct(*before_fields)
+    if mode == BeforeImageMode.FULL_ROW_NEW_IMAGE:
+        before = F.when(is_del, before)  # old image only for DELETE
+    elif mode == BeforeImageMode.DEFAULT:
+        before = F.when(is_del, before)  # key-only, DELETE only
+    out = decoded.withColumn("before", before)
+    if mode in _FULL_AFTER_MODES:
+        full_after = F.when(~is_del, F.struct(*after_fields))
+        out = out.withColumn("after", full_after).withColumn(
+            "changed",
+            F.when(~is_del, F.array(*[F.lit(c) for c in columns])).otherwise(
+                F.col("changed")
+            ),
+        )
+    return out

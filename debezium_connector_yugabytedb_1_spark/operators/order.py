@@ -165,9 +165,15 @@ def global_sequence(
         return df.withColumn(out_col, F.lit(None).cast("long"))
     mn, mx = float(row["mn"]), float(row["mx"])
     width = max((mx - mn) / n, 1e-9)
-    pid = F.least(
-        F.floor((fnum - F.lit(mn)) / F.lit(width)).cast("int"),
-        F.lit(n - 1),
+    # NULL first-column values go to bucket 0 explicitly — ascending sorts
+    # are NULLS FIRST, and F.least would otherwise skip the null and park
+    # them in the LAST bucket, diverging from the single-partition
+    # row_number() this replaces
+    pid = F.when(fnum.isNull(), F.lit(0)).otherwise(
+        F.least(
+            F.floor((fnum - F.lit(mn)) / F.lit(width)).cast("int"),
+            F.lit(n - 1),
+        )
     )
     counts = {
         r["_pid"]: r["n"]

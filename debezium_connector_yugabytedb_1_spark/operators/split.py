@@ -60,3 +60,68 @@ def split_tablet(
     )
     new_ckpt = ckpt.where(F.col("tablet_id") != parent_id).unionByName(child_offs)
     return new_tablets, new_ckpt
+
+
+# ------------------------------------------------------------ ack wait-list
+def request_split(
+    waitlist: dict,
+    parent_id: str,
+    child_a: tuple[str, int, int],
+    child_b: tuple[str, int, int],
+    split_offset: tuple[int, int, int],
+) -> dict:
+    """Enqueue a split instead of applying it immediately: under explicit
+    checkpointing the reference defers ``handleTabletSplit`` until the
+    committed checkpoint catches up to the tablet's last record before the
+    split (``splitTabletsWaitingForCallback``, wait-list check at
+    ``YugabyteDBStreamingChangeEventSource.java:468-498``) — applying
+    earlier could orphan unacked parent records if the consumer crashes.
+
+    ``split_offset``: the parent's last record offset at the SPLIT message
+    (the barrier the ack must reach). Returns the updated wait-list (a
+    plain dict — driver-side state, O(#pending splits))."""
+    out = dict(waitlist)
+    out[parent_id] = {
+        "child_a": tuple(child_a),
+        "child_b": tuple(child_b),
+        "split_offset": tuple(split_offset),
+    }
+    return out
+
+
+def waiting_parents(waitlist: dict) -> set[str]:
+    """Tablets whose polling must pause while their split awaits the ack
+    (the reference ``continue``s past wait-listed tablets, ``:489-497``)."""
+    return set(waitlist)
+
+
+def apply_ready_splits(
+    tablets: DataFrame,
+    ckpt: DataFrame,
+    waitlist: dict,
+    committed: DataFrame,
+) -> tuple[DataFrame, DataFrame, dict, list[str]]:
+    """Apply every wait-listed split whose parent's committed (explicit)
+    checkpoint has reached the split barrier
+    (``lastRecordCheckpoint.isLesserThanOrEqualTo(explicitCheckpoint)``,
+    ``:477-495``). Returns (tablets, ckpt, remaining wait-list, applied
+    parent ids). ``committed``: (tablet_id, term, index, write_id) acks."""
+    if not waitlist:
+        return tablets, ckpt, waitlist, []
+    acks = {
+        r["tablet_id"]: (r["term"], r["index"], r["write_id"])
+        for r in committed.where(
+            F.col("tablet_id").isin(*waitlist.keys())
+        ).collect()
+    }
+    remaining, applied = dict(waitlist), []
+    for parent_id, req in waitlist.items():
+        ack = acks.get(parent_id)
+        if ack is None or tuple(ack) < req["split_offset"]:
+            continue  # ack has not caught up — keep waiting
+        tablets, ckpt = split_tablet(
+            tablets, ckpt, parent_id, req["child_a"], req["child_b"]
+        )
+        del remaining[parent_id]
+        applied.append(parent_id)
+    return tablets, ckpt, remaining, applied

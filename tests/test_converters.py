@@ -135,3 +135,61 @@ def test_typed_decode_dispatch(spark):
     )
     r = out.collect()[0]
     assert r["num"] == "1.5" and str(r["money"]) == "123.45" and r["arr"] == [1, 2]
+
+
+def test_variable_scale_decimal_beyond_38_18(spark):
+    """Values outside decimal(38,18) keep textual exactness (ANSI cast
+    would throw on >20 integer digits and silently round >18 fractional)."""
+    from debezium_connector_yugabytedb_1_spark.functions.converters import convert_decimal
+
+    rows = [
+        ("123456789012345678901234567.500",),   # 27 int digits
+        ("0.0000000000000000001234500",),        # 25 frac digits
+        ("-000042.4200",),                       # leading zeros, negative
+        ("7.5000",),                             # inside range: decimal path
+        ("NaN",),
+    ]
+    df = spark.createDataFrame(rows, "w string")
+    got = [r["v"] for r in df.select(
+        convert_decimal("w", mode="precise", scale=None).alias("v")).collect()]
+    assert got == [
+        "123456789012345678901234567.5",
+        "0.00000000000000000012345",
+        "-42.42",
+        "7.5",
+        None,
+    ]
+
+
+def test_quoted_text_array_elements(spark):
+    """PgArray-style quoting: embedded commas, escaped quotes/backslashes,
+    quoted 'NULL' literal vs unquoted NULL (YbProtoColumnValue.java:312-343)."""
+    from debezium_connector_yugabytedb_1_spark.functions.converters import convert_array
+
+    df = spark.createDataFrame(
+        [('{"a,b","q\\"z","back\\\\slash",NULL,"NULL",plain}',), ("{}",)],
+        "w string",
+    )
+    got = [r["v"] for r in df.select(convert_array("w").alias("v")).collect()]
+    assert got[0] == ["a,b", 'q"z', "back\\slash", None, "NULL", "plain"]
+    assert got[1] == []
+
+
+def test_geometry_ewkb(spark):
+    """EWKB hex → (wkb bytes, srid): the canonical POINT(1 2) SRID=4326
+    example, plus the no-SRID variant (convertGeometry :815-872)."""
+    from debezium_connector_yugabytedb_1_spark.functions.converters import convert_geometry
+
+    with_srid = "0101000020E6100000000000000000F03F0000000000000040"
+    without = "0101000000000000000000F03F0000000000000040"
+    df = spark.createDataFrame([(with_srid,), (without,)], "w string")
+    rows = df.select(convert_geometry("w").alias("g")).collect()
+    assert rows[0]["g"]["srid"] == 4326
+    assert bytes(rows[0]["g"]["wkb"]).hex() == with_srid.lower()
+    assert rows[1]["g"]["srid"] is None
+    assert bytes(rows[1]["g"]["wkb"]).hex() == without.lower()
+    # big-endian variant: XDR byte order marker 00, type 0x20000001, srid 4326
+    be = "00" + "20000001" + "000010E6" + "3FF0000000000000" + "4000000000000000"
+    r = spark.createDataFrame([(be,)], "w string").select(
+        convert_geometry("w").alias("g")).first()
+    assert r["g"]["srid"] == 4326

@@ -341,3 +341,103 @@ def test_lake_expire_versions(spark, tmp_path):
     # table still writable after GC
     t.merge(one(99), "b99")
     assert ("r", "p99") in engine_state(t)
+
+
+def test_before_image_all_modes(spark):
+    """X1 — the full 8-mode matrix (HelperBeforeImageModes.java:6-49),
+    shapes mirroring YugabyteDBBeforeImageTest: insert → partial update →
+    delete, checking each mode's old image and new-image width."""
+    from debezium_connector_yugabytedb_1_spark.operators.before_image import (
+        BeforeImageMode,
+        reconstruct_before_images,
+    )
+
+    rows = [
+        (0, 1, 0, "c", "r", "p", '{"after":{"commit":"a","lang":"L","content":"c1"},"changed":["commit","lang","content"]}'),
+        (0, 2, 0, "u", "r", "p", '{"after":{"commit":"b"},"changed":["commit"]}'),
+        (0, 3, 0, "d", "r", "p", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "term long, index long, write_id long, op string, repo string, path string, payload string"
+    )
+    cols = ("commit", "lang", "content")
+    dec = decode_envelope(df)
+
+    def run(mode):
+        out = reconstruct_before_images(dec, mode, columns=cols)
+        return {r["index"]: r for r in out.collect()}
+
+    # ALL == FULL: full old image, full new image (update fills lang/content)
+    for mode in (BeforeImageMode.ALL, BeforeImageMode.FULL):
+        m = run(mode)
+        assert m[2]["before"]["lang"] == "L" and m[2]["before"]["commit"] == "a"
+        assert m[2]["after"]["lang"] == "L" and m[2]["after"]["commit"] == "b"
+        assert m[3]["before"]["commit"] == "b" and m[3]["after"] is None
+
+    # CHANGE_OLD_NEW / MODIFIED_COLUMNS: old+new of the modified column only
+    for mode in (BeforeImageMode.CHANGE_OLD_NEW, BeforeImageMode.MODIFIED_COLUMNS_OLD_AND_NEW):
+        m = run(mode)
+        assert m[2]["before"]["commit"] == "a"
+        assert m[2]["before"]["lang"] is None          # not modified -> no old image
+        assert m[2]["after"]["lang"] is None           # new image stays changed-cols
+
+    # FULL_ROW_NEW_IMAGE: full new image; old image ONLY for delete
+    m = run(BeforeImageMode.FULL_ROW_NEW_IMAGE)
+    assert m[2]["before"] is None
+    assert m[2]["after"]["lang"] == "L"
+    assert m[3]["before"]["commit"] == "b" and m[3]["before"]["lang"] == "L"
+
+    # DEFAULT: full new image; key-only old image for delete (value cols null)
+    m = run(BeforeImageMode.DEFAULT)
+    assert m[2]["before"] is None
+    assert m[2]["after"]["content"] == "c1"
+    assert m[3]["before"] is not None
+    assert all(m[3]["before"][c] is None for c in cols)
+
+    # CHANGE / NOTHING: stream passes through untouched
+    for mode in (BeforeImageMode.CHANGE, BeforeImageMode.NOTHING):
+        m = run(mode)
+        assert "before" not in m[2].asDict()
+        assert m[2]["after"]["lang"] is None
+
+
+def test_tablet_split_waits_for_explicit_checkpoint(spark):
+    """D2 — split ack wait-list: a requested split is NOT applied until the
+    committed checkpoint reaches the split barrier; the parent pauses
+    polling meanwhile; children inherit the parent offset on apply
+    (handleTabletSplit:1104-1162, wait-list :468-498)."""
+    from debezium_connector_yugabytedb_1_spark.operators.split import (
+        apply_ready_splits,
+        request_split,
+        waiting_parents,
+    )
+    from debezium_connector_yugabytedb_1_spark.generator import tablets_table
+
+    tablets = tablets_table(spark, n_tablets=2, key_space=100)
+    ckpt = spark.createDataFrame(
+        [("tablet-0", 0, 50, 0, "streaming"), ("tablet-1", 0, 60, 0, "streaming")],
+        "tablet_id string, term long, index long, write_id long, phase string",
+    )
+    wl = request_split(
+        {}, "tablet-0", ("tablet-0a", 0, 25), ("tablet-0b", 25, 50), (0, 50, 0)
+    )
+    assert waiting_parents(wl) == {"tablet-0"}
+
+    # ack behind the barrier: nothing happens
+    behind = spark.createDataFrame(
+        [("tablet-0", 0, 40, 0)], "tablet_id string, term long, index long, write_id long"
+    )
+    t2, c2, wl2, applied = apply_ready_splits(tablets, ckpt, wl, behind)
+    assert applied == [] and waiting_parents(wl2) == {"tablet-0"}
+    assert {r["tablet_id"] for r in t2.collect()} == {"tablet-0", "tablet-1"}
+
+    # ack reaches the barrier: split applies, children inherit offset 50
+    caught = spark.createDataFrame(
+        [("tablet-0", 0, 50, 0)], "tablet_id string, term long, index long, write_id long"
+    )
+    t3, c3, wl3, applied3 = apply_ready_splits(tablets, ckpt, wl2, caught)
+    assert applied3 == ["tablet-0"] and not wl3
+    ids = {r["tablet_id"] for r in t3.collect()}
+    assert ids == {"tablet-0a", "tablet-0b", "tablet-1"}
+    offs = {r["tablet_id"]: r["index"] for r in c3.collect()}
+    assert offs["tablet-0a"] == 50 and offs["tablet-0b"] == 50 and "tablet-0" not in offs
