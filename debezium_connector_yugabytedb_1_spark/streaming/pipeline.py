@@ -73,6 +73,7 @@ class CdcPipeline:
         message_sink: MetricsSink | None = None,
         message_prefix_include: str | None = None,
         message_prefix_exclude: str | None = None,
+        auto_add_tables: bool = False,
     ):
         self.spark = spark
         self.events_path = events_path
@@ -87,6 +88,15 @@ class CdcPipeline:
         self.message_sink = message_sink
         self.message_prefix_include = message_prefix_include
         self.message_prefix_exclude = message_prefix_exclude
+        #: D3 — auto table-poller (``YugabyteDBTablePoller.java:31-120``):
+        #: each poll window's observed table set (a collect_set folded into
+        #: the existing stats aggregation — no extra job) is diffed against
+        #: the include config; a new table extends the include regex BEFORE
+        #: the window is processed, mirroring the reference's restart-at-
+        #: unprocessed-offset reconfiguration. Applied diffs land in
+        #: ``self.reconfigurations``.
+        self.auto_add_tables = auto_add_tables
+        self.reconfigurations: list[tuple[int, tuple[str, ...]]] = []
 
     # ------------------------------------------------------------------
     def _events(self) -> DataFrame:
@@ -157,6 +167,8 @@ class CdcPipeline:
                 t0 = time.monotonic()
                 stats = fut.result()
                 _t("stats_wait", t0)
+                if self.auto_add_tables:
+                    self._poll_tables(stats["tables"], lo)
                 nxt_lo, nxt_hi = hi, hi + self.events_per_batch
                 if nxt_lo <= max_index and (max_batches is None or n + 1 < max_batches):
                     nxt_fut, nxt_window = submit(pool, nxt_lo, nxt_hi)
@@ -173,6 +185,32 @@ class CdcPipeline:
                 lo = hi
                 n += 1
         return results
+
+    def _poll_tables(self, observed: set, window_lo: int) -> None:
+        """D3 — the between-batch table poll: extend the include config
+        with newly observed tables that the current include would filter,
+        BEFORE this window is processed (the reference's task
+        reconfiguration restarts polling at the unprocessed offset, so no
+        rows of the new table are lost — ``YugabyteDBTablePoller.java
+        :31-120``). No-op when no include filter is set (everything already
+        dispatches) or nothing new appeared."""
+        import re
+
+        from ..operators.tablepoll import reconfigure_include
+
+        if self.table_include is None:
+            return
+        new = tuple(
+            sorted(
+                t for t in observed
+                if not re.search(self.table_include, t)
+                and not (self.table_exclude and re.search(self.table_exclude, t))
+            )
+        )
+        if not new:
+            return
+        self.table_include = reconfigure_include(self.table_include, new)
+        self.reconfigurations.append((window_lo, new))
 
     def _window_stats(self, window: DataFrame) -> dict:
         """ONE aggregation job per poll window yields everything the driver
@@ -231,6 +269,8 @@ class CdcPipeline:
                 F.array_compact(
                     F.collect_list(F.when(F.col("op") == "ddl", F.col("index")))
                 ).alias("ddl_idx"),
+                # table-poller input: bounded by #tables, map-side combinable
+                F.collect_set("table").alias("tables"),
             )
             .collect()
         )
@@ -253,6 +293,7 @@ class CdcPipeline:
             "n_input": sum(r["n"] for r in rows),
             "buckets": sorted({int(b) for r in rows for b in r["buckets"]}),
             "ddls": ddls,
+            "tables": {t for r in rows for t in r["tables"]},
         }
 
     # ------------------------------------------------------------------

@@ -441,3 +441,51 @@ def test_tablet_split_waits_for_explicit_checkpoint(spark):
     assert ids == {"tablet-0a", "tablet-0b", "tablet-1"}
     offs = {r["tablet_id"]: r["index"] for r in c3.collect()}
     assert offs["tablet-0a"] == 50 and offs["tablet-0b"] == 50 and "tablet-0" not in offs
+
+
+def test_auto_table_poller_reconfigures_include(spark, tmp_path):
+    """D3 hook — a table appearing mid-stream extends the include regex
+    BEFORE its first window is processed (no lost rows), and the
+    reconfiguration is recorded (YugabyteDBTablePoller.java:31-120)."""
+    import os
+
+    from debezium_connector_yugabytedb_1_spark.generator import generate_events, write_events
+    from debezium_connector_yugabytedb_1_spark.operators.checkpoint import CheckpointStore
+    from debezium_connector_yugabytedb_1_spark.streaming.pipeline import CdcPipeline
+
+    ev = generate_events(spark, 2000)
+    # second half of the log belongs to a table unknown at config time
+    ev = ev.withColumn(
+        "table",
+        F.when(F.col("index") >= 1000, F.lit("public.new_table")).otherwise(F.col("table")),
+    )
+    evp = os.path.join(str(tmp_path), "events")
+    write_events(ev, evp, segment_size=500)
+
+    t = LakeTable(spark, os.path.join(str(tmp_path), "lake"), n_buckets=4)
+    t.init(INIT_COLS)
+    pipe = CdcPipeline(
+        spark, evp, t,
+        CheckpointStore(spark, os.path.join(str(tmp_path), "ck")),
+        events_per_batch=1000,
+        table_include=r"^public\.repo_files$",
+        auto_add_tables=True,
+    )
+    results = pipe.run()
+    # one reconfiguration, at the window where the table first appeared
+    assert pipe.reconfigurations == [(1000, ("public.new_table",))]
+    assert "new_table" in pipe.table_include
+    # the new table's rows were dispatched in their own window (not lost)
+    assert results[-1].n_dispatched > 0
+
+    # control: without the poller the second window dispatches nothing
+    t2 = LakeTable(spark, os.path.join(str(tmp_path), "lake2"), n_buckets=4)
+    t2.init(INIT_COLS)
+    pipe2 = CdcPipeline(
+        spark, evp, t2,
+        CheckpointStore(spark, os.path.join(str(tmp_path), "ck2")),
+        events_per_batch=1000,
+        table_include=r"^public\.repo_files$",
+    )
+    r2 = pipe2.run()
+    assert r2[-1].n_dispatched == 0 and not pipe2.reconfigurations
