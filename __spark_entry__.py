@@ -264,6 +264,39 @@ def q_cdc_skew_salted_count(spark, sf_dir):
     return salted_count(ev, "event_type", salt=16, salt_cols=("event_id",))
 
 
+def q_cdc_release_gate(spark, sf_dir):
+    """M1 — the consistent-streaming release gate (``Merger.java:116-133``):
+    'view' rows act as per-tablet SAFEPOINT carriers; a record releases only
+    when ``commit_time <= min(safetime over ALL consumed tablets)``."""
+    from debezium_connector_yugabytedb_1_spark.operators.filters import (
+        extract_safepoint_watermark,
+    )
+    from debezium_connector_yugabytedb_1_spark.operators.order import release_gate
+
+    feed = (
+        _events(spark, sf_dir)
+        .select(
+            "event_id",
+            F.concat(F.lit("tablet-"), F.pmod(F.col("user_id"), F.lit(8))).alias(
+                "tablet_id"
+            ),
+            # ts is TIMESTAMP_NTZ; session TZ is pinned UTC, so the cast is
+            # a pure reinterpretation
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("commit_time"),
+            F.when(F.col("event_type") == "view", F.lit("SAFEPOINT"))
+            .otherwise(F.lit("c"))
+            .alias("op"),
+        )
+    )
+    tablets = [f"tablet-{i}" for i in range(8)]
+    released, _held = release_gate(
+        feed, extract_safepoint_watermark(feed), consumed_tablets=tablets
+    )
+    return released.where(F.col("op") != "SAFEPOINT").select(
+        "event_id", "tablet_id", "commit_time"
+    )
+
+
 def q_cdc_order_consistent(spark, sf_dir):
     """M1 — global commit-time order. Scale path: two-pass rank
     (``order.global_sequence`` — deterministic range buckets + per-bucket
@@ -586,6 +619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_tablet_assignment": q_cdc_tablet_assignment,
         "cdc_skew_salted_count": q_cdc_skew_salted_count,
         "cdc_order_consistent": q_cdc_order_consistent,
+        "cdc_release_gate": q_cdc_release_gate,
         "cdc_before_image": q_cdc_before_image,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -730,6 +764,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cdc_order_consistent": """
             SELECT event_id, row_number() OVER (ORDER BY ts, event_id) AS rn FROM events
+        """,
+        "cdc_release_gate": """
+            WITH feed AS (
+              SELECT event_id, 'tablet-' || (user_id % 8) AS tablet_id,
+                     epoch_us(ts) AS commit_time,
+                     CASE WHEN event_type = 'view' THEN 'SAFEPOINT' ELSE 'c' END AS op
+              FROM events),
+            st AS (SELECT tablet_id, max(commit_time) AS safe_time
+                   FROM feed WHERE op = 'SAFEPOINT' GROUP BY 1),
+            gate AS (SELECT CASE WHEN count(*) = 8 THEN min(safe_time) END AS g FROM st)
+            SELECT f.event_id, f.tablet_id, f.commit_time
+            FROM feed f, gate WHERE f.op <> 'SAFEPOINT' AND f.commit_time <= gate.g
         """,
         "cdc_before_image": f"""
             WITH feed AS ({feed})
