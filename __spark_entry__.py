@@ -374,6 +374,18 @@ def q_ann_lsh_topk(spark, sf_dir):
     return lsh_topk(emb, q, k=5, dim=64).select("query_id", "neighbor_id")
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """Rows-only check: IVF approximate top-k (sample-trained coarse
+    quantizer, nprobe probing — recall not SQL-replicable)."""
+    from debezium_connector_yugabytedb_1_spark.operators.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 10)
+    return ivf_topk(emb, q, k=5, n_lists=16, nprobe=8).select(
+        "query_id", "neighbor_id"
+    )
+
+
 def q_dedup_embedding_cosine(spark, sf_dir):
     """Embedding near-dup pairs among the first 200 vectors (brute-force
     exact; the LSH variant is q_ann_lsh_topk)."""
@@ -627,6 +639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "ann_brute_force_topk": q_ann_brute_force_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,

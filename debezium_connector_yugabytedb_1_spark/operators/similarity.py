@@ -1,6 +1,7 @@
 """Similarity search over an embedding column (``array<float>``):
-brute-force cosine top-k (exact baseline) and an LSH-bucketed variant
-(the scale path).
+brute-force cosine top-k (exact baseline) and two scale paths: an
+LSH-bucketed variant and an IVF (inverted-file) variant with a
+sample-trained coarse quantizer.
 
 Brute force: queries x corpus join with JVM-expression cosine — no UDF, no
 Python. For Q queries it is a broadcast of Q rows against a full corpus
@@ -120,6 +121,113 @@ def lsh_topk(
     ).withColumnRenamed("vec_id", "query_id")
     cand = (
         sig_q.join(sig_c, ["table", "bucket"])
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .withColumn("cosine", cosine_similarity(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+# ------------------------------------------------------------------- IVF
+def ivf_train(
+    corpus: DataFrame,
+    n_lists: int = 16,
+    vec_col: str = "embedding",
+    sample: int = 20_000,
+    iters: int = 8,
+    seed: int = 7,
+) -> np.ndarray:
+    """Train the IVF coarse quantizer: Lloyd k-means on a bounded sample,
+    seeded init — deterministic across runs and cluster sizes. The train
+    step is the standard IVF recipe (FAISS-style): at 100 TB you still
+    train on a driver-side sample of ~10^4-10^5 vectors; only assignment
+    and search are distributed. Returns (n_lists, dim) centroids."""
+    rows = corpus.select(vec_col).limit(sample).collect()
+    mat = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    rng = np.random.default_rng(seed)
+    cent = mat[rng.choice(len(mat), size=min(n_lists, len(mat)), replace=False)]
+    for _ in range(iters):
+        # cosine assignment: normalize once, argmax of dot products
+        cn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+        mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        assign = (mn @ cn.T).argmax(axis=1)
+        for j in range(len(cent)):
+            members = mat[assign == j]
+            if len(members):
+                cent[j] = members.mean(axis=0)
+    return cent
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+    out_id: str = "vec_id",
+) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest centroid lists (cosine).
+    Broadcast centroids + one vectorized matmul per Arrow batch; output
+    (id, list_id) rows — ``nprobe=1`` for corpus indexing, >1 for query
+    probing."""
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            mat = np.stack(pdf[vec_col].map(np.asarray).values).astype(np.float64)
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            sims = mat @ cn.T
+            top = np.argsort(-sims, axis=1)[:, :nprobe]
+            yield pd.DataFrame(
+                {
+                    out_id: np.repeat(pdf[id_col].values, nprobe),
+                    "list_id": top.reshape(-1).astype(np.int64),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        assign, schema=f"{out_id} long, list_id long"
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors partitioned into ``n_lists``
+    inverted lists by nearest centroid; each query probes its ``nprobe``
+    nearest lists and exact-reranks only those candidates. Cost per query
+    ~ nprobe/n_lists of the corpus — recall tracks that fraction on
+    unclustered (near-uniform) embeddings, and far exceeds it on clustered
+    real corpora — the FAISS IVF-Flat plan re-expressed
+    as a list_id equi-join (shuffle on list_id; at scale, persist the
+    assignment bucketed by list_id and the probe join is shuffle-free on
+    the corpus side)."""
+    cent = ivf_train(corpus, n_lists, vec_col, seed=seed)
+    c_assign = ivf_assign(corpus, cent, id_col, vec_col, nprobe=1)
+    q_probe = ivf_assign(queries, cent, id_col, vec_col, nprobe=nprobe, out_id="query_id")
+    cand = (
+        q_probe.join(c_assign, "list_id")
         .where(F.col("query_id") != F.col("vec_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()

@@ -57,3 +57,38 @@ def test_lsh_signatures_dim_param_no_driver_action(spark):
     # deterministic: same input → identical signatures
     again = {(r["vec_id"], r["table"], r["bucket"]) for r in lsh_signatures(corpus, dim=DIM, n_planes=8, n_tables=2).collect()}
     assert again == {(r["vec_id"], r["table"], r["bucket"]) for r in rows}
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    """IVF must reach >=0.8 recall@5 against exact brute-force top-k.
+    The testdata embeddings are near-uniform (no cluster structure), the
+    worst case for a coarse quantizer — recall then tracks the probed
+    fraction, so the gate runs at nprobe=8 of 16 lists; clustered real
+    corpora reach the same recall at much smaller fractions."""
+    from debezium_connector_yugabytedb_1_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, q, k=5, n_lists=16, nprobe=8).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"IVF recall {recall:.2f} < 0.8"
+
+
+def test_ivf_deterministic(spark):
+    from debezium_connector_yugabytedb_1_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5)
+    a = sorted(map(tuple, ivf_topk(emb, q, k=3).select("query_id", "neighbor_id").collect()))
+    b = sorted(map(tuple, ivf_topk(emb, q, k=3).select("query_id", "neighbor_id").collect()))
+    assert a == b
