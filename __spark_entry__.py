@@ -579,6 +579,10 @@ def q_cdc_typed_decode(spark, sf_dir):
         ),
     ).otherwise(F.lit("0101000000000000000000f03f0000000000000040"))
     g = C.convert_geometry(geom_wire)
+    timetz_wire = F.concat(
+        time_wire,
+        F.when(F.pmod(i, F.lit(2)) == 0, F.lit("+05:30")).otherwise(F.lit("-02")),
+    )
 
     arr = C.convert_array(arr_wire, "bigint")
     pt = C.convert_point(point_wire)
@@ -612,6 +616,7 @@ def q_cdc_typed_decode(spark, sf_dir):
         F.array_join(C.convert_array(qarr_wire, "string"), "|", "N").alias("arr_quoted"),
         F.lower(F.hex(g["wkb"])).alias("geom_wkb_hex"),
         g["srid"].cast("long").alias("geom_srid"),
+        C.convert_timetz(timetz_wire).alias("timetz_utc"),
     )
 
 
@@ -655,7 +660,13 @@ def oracle_sql() -> dict[str, str]:
     tok = "string_split_regex(lower(trim(text)), '\\s+')"
     return {
         "cdc_typed_decode": """
-            WITH base AS (SELECT event_id AS i FROM events WHERE event_id < 2000)
+            WITH base AS (
+              SELECT event_id AS i,
+                ((((event_id % 24) * 3600000000 + (event_id % 60) * 60000000
+                   + ((event_id * 7) % 60) * 1000000 + (event_id % 2) * 250000)
+                  - (CASE WHEN event_id % 2 = 0 THEN 19800000000 ELSE -7200000000 END))
+                 % 86400000000 + 86400000000) % 86400000000 AS tzus
+              FROM events WHERE event_id < 2000)
             SELECT i AS event_id,
               CASE WHEN i % 10 IN (0, 1, 2) THEN NULL ELSE
                 rtrim(rtrim(i::VARCHAR || '.' || lpad((i % 1000)::VARCHAR, 3, '0') || '00', '0'), '.')
@@ -702,7 +713,11 @@ def oracle_sql() -> dict[str, str]:
                   || substr(printf('%08x', i), 3, 2) || substr(printf('%08x', i), 1, 2)
                   || '000000000000f03f0000000000000040'
               ELSE '0101000000000000000000f03f0000000000000040' END AS geom_wkb_hex,
-              (CASE WHEN i % 2 = 0 THEN i END)::BIGINT AS geom_srid
+              (CASE WHEN i % 2 = 0 THEN i END)::BIGINT AS geom_srid,
+              lpad(CAST(tzus // 3600000000 AS VARCHAR), 2, '0') || ':' ||
+                lpad(CAST((tzus // 60000000) % 60 AS VARCHAR), 2, '0') || ':' ||
+                lpad(CAST((tzus // 1000000) % 60 AS VARCHAR), 2, '0') || '.' ||
+                lpad(CAST(tzus % 1000000 AS VARCHAR), 6, '0') || 'Z' AS timetz_utc
             FROM base
         """,
         "cdc_lww_dedup": f"""

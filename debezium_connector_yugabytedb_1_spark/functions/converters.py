@@ -167,6 +167,40 @@ def convert_time_micros(col: Column | str) -> Column:
     )
 
 
+def convert_timetz(col: Column | str) -> Column:
+    """TIMETZ wire ``HH:mm:ss[.ffffff]±HH[:mm]`` → UTC-shifted ISO time
+    string (Debezium ZonedTime; ``convertTimeWithZone :805-813`` shifts the
+    parsed offset-time to ``ZoneOffset.UTC``). Pure expressions: the offset
+    is parsed and subtracted in micros, wrapped mod 24h."""
+    c = F.trim(_c(col))
+    body = F.regexp_extract(c, r"^([0-9:.]+)", 1)
+    sign = F.when(c.contains("-"), F.lit(-1)).otherwise(F.lit(1))
+    oh = F.coalesce(
+        F.regexp_extract(c, r"[+-](\d{1,2})", 1).cast("long"), F.lit(0)
+    )
+    om = F.coalesce(
+        F.nullif(F.regexp_extract(c, r"[+-]\d{1,2}:(\d{2})", 1), F.lit("")).cast(
+            "long"
+        ),
+        F.lit(0),
+    )
+    off_us = sign * (oh * 3_600_000_000 + om * 60_000_000)
+    us = F.pmod(convert_time_micros(body) - off_us, F.lit(86_400_000_000))
+    h = F.lpad((us / 3_600_000_000).cast("long").cast("string"), 2, "0")
+    m = F.lpad(
+        F.pmod((us / 60_000_000).cast("long"), F.lit(60)).cast("string"), 2, "0"
+    )
+    s = F.lpad(F.pmod((us / 1_000_000).cast("long"), F.lit(60)).cast("string"), 2, "0")
+    frac = F.lpad(F.pmod(us, F.lit(1_000_000)).cast("string"), 6, "0")
+    return F.concat(h, F.lit(":"), m, F.lit(":"), s, F.lit("."), frac, F.lit("Z"))
+
+
+def convert_citext(col: Column | str) -> Column:
+    """CITEXT → string as-is (case-preserving value, case-insensitive
+    compare semantics live in the database — ``convertCitext :874-885``)."""
+    return _c(col)
+
+
 def convert_interval(col: Column | str, mode: str = "numeric") -> Column:
     """INTERVAL from wire micros (``convertInterval :746-782``):
     ``numeric`` → the micros long; ``string`` → the reference's ISO form
@@ -393,6 +427,17 @@ CONVERTERS = {
     "text_array": lambda c: convert_array(c, "string"),
     "uuid_array": lambda c: F.transform(convert_array(c, "string"), lambda x: F.lower(x)),
     "numeric_array": lambda c: convert_array(c, "decimal(38,6)"),
+    "timetz": convert_timetz,
+    "citext": convert_citext,
+    "macaddr8": convert_inet,
+    "varchar_array": lambda c: convert_array(c, "string"),
+    "char_array": lambda c: convert_array(c, "string"),
+    "date_array": lambda c: F.transform(convert_array(c), convert_date_days),
+    "timestamptz_array": lambda c: F.transform(
+        convert_array(c), convert_timestamptz_string
+    ),
+    "inet_array": lambda c: F.transform(convert_array(c), convert_inet),
+    "json_array": lambda c: convert_array(c, "string"),
 }
 
 

@@ -73,6 +73,20 @@ def get_spark(
         # fewer, larger shuffle-write flushes (default 32k): measured ~4%
         # off the decode+shuffle stage at higher core counts, neutral at low
         .config("spark.shuffle.file.buffer", "1m")
+        # Shuffle codec by parallelism regime (override with
+        # $SPARK_GRAFT_SHUFFLE_CODEC): at <=8 local threads the replay is
+        # CPU-bound and lz4's cheaper (de)compression wins (~4%); at >=16
+        # threads the shared memory subsystem saturates and zstd's smaller
+        # shuffle blocks nearly double 32-thread throughput (measured
+        # 166k -> 314k ev/s same-window). The cluster analogue is enabling
+        # zstd shuffle when the network/IO fabric, not CPU, is the
+        # bottleneck — same knob, same reasoning.
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get(
+                "SPARK_GRAFT_SHUFFLE_CODEC", "zstd" if cores >= 16 else "lz4"
+            ),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -193,3 +193,39 @@ def test_geometry_ewkb(spark):
     r = spark.createDataFrame([(be,)], "w string").select(
         convert_geometry("w").alias("g")).first()
     assert r["g"]["srid"] == 4326
+
+
+def test_timetz_utc_shift(spark):
+    """TIMETZ shifts to UTC like the reference's OffsetTime →
+    withOffsetSameInstant(UTC) (convertTimeWithZone :805-813)."""
+    from debezium_connector_yugabytedb_1_spark.functions.converters import convert_timetz
+
+    rows = [
+        ("13:04:05.123+05:30",),   # → 07:34:05.123Z
+        ("23:30:00-02",),          # wraps forward → 01:30:00Z
+        ("00:15:30+00",),
+        ("10:00:00.000001-04:15",),
+    ]
+    df = spark.createDataFrame(rows, "w string")
+    got = [r["v"] for r in df.select(convert_timetz("w").alias("v")).collect()]
+    assert got == [
+        "07:34:05.123000Z",
+        "01:30:00.000000Z",
+        "00:15:30.000000Z",
+        "14:15:00.000001Z",
+    ]
+
+
+def test_typed_array_families(spark):
+    from debezium_connector_yugabytedb_1_spark.functions.converters import CONVERTERS
+
+    df = spark.createDataFrame(
+        [("{2020-01-02,infinity,NULL}", '{"2020-01-02 03:04:05+00",NULL}')],
+        "d string, t string",
+    )
+    r = df.select(
+        CONVERTERS["date_array"]("d").alias("d"),
+        CONVERTERS["timestamptz_array"]("t").alias("t"),
+    ).first()
+    assert r["d"] == [18263, 106751991, None]
+    assert r["t"] == ["2020-01-02T03:04:05.000000Z", None]
