@@ -238,11 +238,19 @@ def minhash_lsh_pairs(
             .where(F.col("count") > max_df)
             .select("shingle")
         )
-        sets = (
-            occ.join(F.broadcast(hot), "shingle", "left_anti")
-            .groupBy("doc_id")
-            .agg(F.collect_set("shingle").alias("sh"))
-        )
+        # common case: nothing exceeds the df cap — the cached per-doc sets
+        # ARE the capped sets, so skip the explode→anti-join→re-collect
+        # pass entirely. The probe collects at most a bounded sample; a
+        # corpus with many hot shingles falls back to the join path.
+        hot_sample = hot.limit(10_001).collect()
+        if not hot_sample:
+            sets = per_doc
+        else:
+            sets = (
+                occ.join(F.broadcast(hot), "shingle", "left_anti")
+                .groupBy("doc_id")
+                .agg(F.collect_set("shingle").alias("sh"))
+            )
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
