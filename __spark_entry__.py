@@ -297,6 +297,66 @@ def q_cdc_release_gate(spark, sf_dir):
     )
 
 
+def q_cdc_truncate_barrier(spark, sf_dir):
+    """P6 — TRUNCATE barrier: 'error' rows act as per-table TRUNCATE
+    markers; every event at or before its table's last truncate dies
+    (``apply_truncate``: per-table max-offset barrier, one window pass)."""
+    from debezium_connector_yugabytedb_1_spark.operators.emit import apply_truncate
+
+    feed = _events(spark, sf_dir).select(
+        "event_id",
+        F.concat(F.lit("t"), F.pmod(F.col("user_id"), F.lit(4))).alias("table"),
+        F.when(F.col("event_type") == "error", F.lit("TRUNCATE"))
+        .otherwise(F.lit("c"))
+        .alias("op"),
+        F.lit(0).cast("long").alias("term"),
+        F.col("event_id").alias("index"),
+        F.lit(0).cast("long").alias("write_id"),
+    )
+    kept = apply_truncate(feed)
+    return kept.where(F.col("op") != "TRUNCATE").select("event_id", "table")
+
+
+def q_cdc_smt_flatten(spark, sf_dir):
+    """P8 — YBExtractNewRecordState flatten: envelope → after image with
+    unset cells nulled + __deleted flag."""
+    from debezium_connector_yugabytedb_1_spark.operators.decode import (
+        decode_envelope,
+        extract_new_record_state,
+    )
+
+    feed = _feed(spark, sf_dir)
+    env = feed.select(
+        F.col("event_id"),
+        F.col("op"),
+        F.concat(F.lit("u"), F.col("user_id")).alias("repo"),
+        F.col("event_type").alias("path"),
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.conv(F.col("event_id").cast("string"), 10, 16).alias("commit"),
+                    F.col("event_type").alias("lang"),
+                    F.when(F.col("op") != "u", F.col("props")).alias("content"),
+                    F.col("user_id").alias("stars"),
+                ).alias("after"),
+                F.array_compact(
+                    F.array(
+                        F.lit("commit"),
+                        F.lit("lang"),
+                        F.when(F.col("op") != "u", F.lit("content")),
+                        F.lit("stars"),
+                    )
+                ).alias("changed"),
+            )
+        ).alias("payload"),
+    )
+    flat = extract_new_record_state(decode_envelope(env), keep_cols=("event_id",))
+    return flat.select(
+        "event_id", "repo", "path", "commit", "lang", "content",
+        F.col("stars").cast("long").alias("stars"), "__deleted",
+    )
+
+
 def q_cdc_order_consistent(spark, sf_dir):
     """M1 — global commit-time order. Scale path: two-pass rank
     (``order.global_sequence`` — deterministic range buckets + per-bucket
@@ -637,6 +697,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_skew_salted_count": q_cdc_skew_salted_count,
         "cdc_order_consistent": q_cdc_order_consistent,
         "cdc_release_gate": q_cdc_release_gate,
+        "cdc_truncate_barrier": q_cdc_truncate_barrier,
+        "cdc_smt_flatten": q_cdc_smt_flatten,
         "cdc_before_image": q_cdc_before_image,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -792,6 +854,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cdc_order_consistent": """
             SELECT event_id, row_number() OVER (ORDER BY ts, event_id) AS rn FROM events
+        """,
+        "cdc_truncate_barrier": """
+            WITH feed AS (
+              SELECT event_id, 't' || (user_id % 4) AS "table",
+                     CASE WHEN event_type = 'error' THEN 'TRUNCATE' ELSE 'c' END AS op
+              FROM events),
+            barrier AS (SELECT "table", max(event_id) AS b
+                        FROM feed WHERE op = 'TRUNCATE' GROUP BY 1)
+            SELECT f.event_id, f."table" FROM feed f LEFT JOIN barrier USING ("table")
+            WHERE f.op <> 'TRUNCATE' AND (b IS NULL OR f.event_id > b)
+        """,
+        "cdc_smt_flatten": f"""
+            WITH feed AS ({feed})
+            SELECT event_id, 'u' || user_id AS repo, event_type AS path,
+                   printf('%X', event_id) AS "commit",
+                   event_type AS lang,
+                   CASE WHEN op <> 'u' THEN props END AS content,
+                   user_id::BIGINT AS stars,
+                   op = 'd' AS __deleted
+            FROM feed
         """,
         "cdc_release_gate": """
             WITH feed AS (

@@ -208,6 +208,7 @@ def extract_new_record_state(
     *,
     delete_to_tombstone: bool = False,
     drop_tombstones: bool = True,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """P8 — ``YBExtractNewRecordState`` SMT analogue
     (``YBExtractNewRecordState.java:57-221``): unwrap envelope → after image,
@@ -220,13 +221,16 @@ def extract_new_record_state(
     - ``delete_to_tombstone=True``: a DELETE becomes a tombstone — key
       kept, every value column nulled, ``__tombstone = true`` (the
       Kafka null-value record re-expressed relationally) — and source
-      tombstone records are dropped (``:103-107``)."""
+      tombstone records are dropped (``:103-107``).
+
+    ``keep_cols``: extra envelope columns passed through unchanged (the
+    SMT copies non-payload fields verbatim)."""
     is_del = F.col("op") == "d"
     is_tomb = F.col("op") == "t"
     src = decoded
     if delete_to_tombstone:
         src = src.where(~is_tomb)  # drop source tombstones (:103-107)
-        proj = [F.col("repo"), F.col("path")]
+        proj = [*[F.col(c) for c in keep_cols], F.col("repo"), F.col("path")]
         proj += [
             F.when(~is_del & cell_set(c), F.col(f"after.{c}")).alias(c)
             for c in columns
@@ -235,7 +239,7 @@ def extract_new_record_state(
         return src.select(*proj)
     if drop_tombstones:
         src = src.where(~is_tomb)
-    proj = [F.col("repo"), F.col("path")]
+    proj = [*[F.col(c) for c in keep_cols], F.col("repo"), F.col("path")]
     proj += [F.when(cell_set(c), F.col(f"after.{c}")).alias(c) for c in columns]
     proj.append(F.col("op").isin("d", "t").alias("__deleted"))
     return src.select(*proj)

@@ -141,3 +141,14 @@ class ConsistentGate:
             return None
         carried = self.spark.read.parquet(os.path.join(self.path, st["pending"]))
         return carried
+
+    def clear_pending(self) -> None:
+        """Drop the pending store after a flush drain has been applied —
+        the sink's batch-id skip and monotonic fold would absorb a
+        re-drain, but clearing keeps restarts from re-reading stale rows."""
+        st = self.state()
+        for rel in [st["pending"], *st["old"]]:
+            if rel:
+                shutil.rmtree(os.path.join(self.path, rel), ignore_errors=True)
+        st["pending"], st["old"] = None, []
+        self._save_state(st)

@@ -132,3 +132,4 @@ def run_streaming(
         drained = gate.flush()
         if drained is not None:
             apply_batch(drained, "gate-flush", table, ckpt)
+            gate.clear_pending()
