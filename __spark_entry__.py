@@ -371,11 +371,54 @@ def q_cdc_order_consistent(spark, sf_dir):
 
 
 def q_cdc_before_image(spark, sf_dir):
-    """X1 — before-image: previous event id per key in offset order."""
+    """X1 — FULL-mode before images via the real history-window operator
+    (``reconstruct_before_images``): per key, the prior image of every
+    event — last-set value per column, nulled across delete barriers
+    (partial updates leave ``content`` unset on 'u' rows)."""
+    from debezium_connector_yugabytedb_1_spark.operators.before_image import (
+        BeforeImageMode,
+        reconstruct_before_images,
+    )
+    from debezium_connector_yugabytedb_1_spark.operators.decode import decode_envelope
+
     feed = _feed(spark, sf_dir)
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    return feed.select(
-        "event_id", "user_id", "event_type", F.lag("event_id").over(w).alias("prev_event_id")
+    env = feed.select(
+        F.col("event_id"),
+        F.col("op"),
+        F.lit(0).cast("long").alias("term"),
+        F.col("event_id").alias("index"),
+        F.lit(0).cast("long").alias("write_id"),
+        F.concat(F.lit("u"), F.col("user_id")).alias("repo"),
+        F.lit("f").alias("path"),
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.conv(F.col("event_id").cast("string"), 10, 16).alias("commit"),
+                    F.col("event_type").alias("lang"),
+                    F.when(F.col("op") != "u", F.col("props")).alias("content"),
+                    F.col("user_id").alias("stars"),
+                ).alias("after"),
+                F.array_compact(
+                    F.array(
+                        F.lit("commit"),
+                        F.lit("lang"),
+                        F.when(F.col("op") != "u", F.lit("content")),
+                        F.lit("stars"),
+                    )
+                ).alias("changed"),
+            )
+        ).alias("payload"),
+    )
+    out = reconstruct_before_images(
+        decode_envelope(env), BeforeImageMode.FULL,
+        columns=("commit", "lang", "content", "stars"),
+    )
+    return out.select(
+        "event_id",
+        F.col("before.commit").alias("b_commit"),
+        F.col("before.lang").alias("b_lang"),
+        F.col("before.content").alias("b_content"),
+        F.col("before.stars").cast("long").alias("b_stars"),
     )
 
 
@@ -888,10 +931,43 @@ def oracle_sql() -> dict[str, str]:
             FROM feed f, gate WHERE f.op <> 'SAFEPOINT' AND f.commit_time <= gate.g
         """,
         "cdc_before_image": f"""
-            WITH feed AS ({feed})
-            SELECT event_id, user_id, event_type,
-                   lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event_id
-            FROM feed
+            WITH feed AS ({feed}),
+            env AS (
+              SELECT event_id, op, 'u' || user_id AS repo,
+                     printf('%X', event_id) AS v_commit,
+                     event_type AS v_lang,
+                     CASE WHEN op <> 'u' THEN props END AS v_content,
+                     user_id AS v_stars,
+                     op <> 'u' AS set_content
+              FROM feed),
+            w AS (
+              SELECT event_id,
+                max(CASE WHEN op IN ('c','r','u') THEN event_id END)
+                  OVER wp AS so_commit,
+                last_value(CASE WHEN op IN ('c','r','u') THEN v_commit END IGNORE NULLS)
+                  OVER wp AS sv_commit,
+                last_value(CASE WHEN op IN ('c','r','u') THEN v_lang END IGNORE NULLS)
+                  OVER wp AS sv_lang,
+                max(CASE WHEN op IN ('c','r','u') AND set_content THEN event_id END)
+                  OVER wp AS so_content,
+                last_value(CASE WHEN op IN ('c','r','u') AND set_content THEN v_content END IGNORE NULLS)
+                  OVER wp AS sv_content,
+                last_value(CASE WHEN op IN ('c','r','u') THEN v_stars END IGNORE NULLS)
+                  OVER wp AS sv_stars,
+                max(CASE WHEN op = 'd' THEN event_id END) OVER wp AS last_del
+              FROM env
+              WINDOW wp AS (PARTITION BY repo ORDER BY event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+            SELECT event_id,
+              CASE WHEN so_commit IS NOT NULL AND (last_del IS NULL OR so_commit > last_del)
+                   THEN sv_commit END AS b_commit,
+              CASE WHEN so_commit IS NOT NULL AND (last_del IS NULL OR so_commit > last_del)
+                   THEN sv_lang END AS b_lang,
+              CASE WHEN so_content IS NOT NULL AND (last_del IS NULL OR so_content > last_del)
+                   THEN sv_content END AS b_content,
+              (CASE WHEN so_commit IS NOT NULL AND (last_del IS NULL OR so_commit > last_del)
+                   THEN sv_stars END)::BIGINT AS b_stars
+            FROM w
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, md5(text) AS text_md5, count(*) AS n_dupes

@@ -23,6 +23,8 @@ TABLES = (
 
 
 def norm(v):
+    if v is None:
+        return "\x00NULL"  # total order vs strings (None is not sortable)
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
