@@ -357,6 +357,43 @@ def q_cdc_smt_flatten(spark, sf_dir):
     )
 
 
+def q_cdc_column_exclude(spark, sf_dir):
+    """F3 — column.exclude.list: drop a payload column from the decoded
+    after-image and its changed array (pure projection)."""
+    from debezium_connector_yugabytedb_1_spark.operators.decode import decode_envelope
+    from debezium_connector_yugabytedb_1_spark.operators.filters import column_exclude
+
+    feed = _feed(spark, sf_dir)
+    env = feed.select(
+        F.col("event_id"),
+        F.col("op"),
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.conv(F.col("event_id").cast("string"), 10, 16).alias("commit"),
+                    F.col("event_type").alias("lang"),
+                    F.col("props").alias("content"),
+                    F.col("user_id").alias("stars"),
+                ).alias("after"),
+                F.array(
+                    F.lit("commit"), F.lit("lang"), F.lit("content"), F.lit("stars")
+                ).alias("changed"),
+            )
+        ).alias("payload"),
+    )
+    out = column_exclude(decode_envelope(env), excluded=("content",))
+    return out.select(
+        "event_id",
+        F.col("after.commit").alias("commit"),
+        F.col("after.lang").alias("lang"),
+        F.col("after.stars").cast("long").alias("stars"),
+        F.array_join(F.array_sort("changed"), ",").alias("changed_cols"),
+        # the excluded column is gone from the struct itself — field count
+        # proves it (3 remaining after-image fields)
+        F.json_object_keys(F.to_json("after")).alias("_keys"),
+    ).withColumn("n_after_fields", F.size("_keys") + F.lit(0)).drop("_keys")
+
+
 def q_cdc_order_consistent(spark, sf_dir):
     """M1 — global commit-time order. Scale path: two-pass rank
     (``order.global_sequence`` — deterministic range buckets + per-bucket
@@ -741,6 +778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_order_consistent": q_cdc_order_consistent,
         "cdc_release_gate": q_cdc_release_gate,
         "cdc_truncate_barrier": q_cdc_truncate_barrier,
+        "cdc_column_exclude": q_cdc_column_exclude,
         "cdc_smt_flatten": q_cdc_smt_flatten,
         "cdc_before_image": q_cdc_before_image,
         "dedup_exact": q_dedup_exact,
@@ -897,6 +935,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cdc_order_consistent": """
             SELECT event_id, row_number() OVER (ORDER BY ts, event_id) AS rn FROM events
+        """,
+        "cdc_column_exclude": f"""
+            WITH feed AS ({feed})
+            SELECT event_id, printf('%X', event_id) AS "commit", event_type AS lang,
+                   user_id::BIGINT AS stars,
+                   'commit,lang,stars' AS changed_cols,
+                   3::INT AS n_after_fields
+            FROM feed
         """,
         "cdc_truncate_barrier": """
             WITH feed AS (
