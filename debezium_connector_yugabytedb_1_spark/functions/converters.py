@@ -175,8 +175,11 @@ def convert_timetz(col: Column | str) -> Column:
     c = F.trim(_c(col))
     body = F.regexp_extract(c, r"^([0-9:.]+)", 1)
     sign = F.when(c.contains("-"), F.lit(-1)).otherwise(F.lit(1))
+    # nullif-guard BOTH extracts: a bare "HH:MM:SS" (or trailing "Z" = UTC)
+    # yields '' from regexp_extract, and ''::long throws under ANSI mode
     oh = F.coalesce(
-        F.regexp_extract(c, r"[+-](\d{1,2})", 1).cast("long"), F.lit(0)
+        F.nullif(F.regexp_extract(c, r"[+-](\d{1,2})", 1), F.lit("")).cast("long"),
+        F.lit(0),
     )
     om = F.coalesce(
         F.nullif(F.regexp_extract(c, r"[+-]\d{1,2}:(\d{2})", 1), F.lit("")).cast(

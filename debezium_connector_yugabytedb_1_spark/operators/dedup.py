@@ -240,10 +240,8 @@ def minhash_lsh_pairs(
         )
         # common case: nothing exceeds the df cap — the cached per-doc sets
         # ARE the capped sets, so skip the explode→anti-join→re-collect
-        # pass entirely. The probe collects at most a bounded sample; a
-        # corpus with many hot shingles falls back to the join path.
-        hot_sample = hot.limit(10_001).collect()
-        if not hot_sample:
+        # pass entirely. Emptiness probe only — no rows pulled to the driver.
+        if hot.isEmpty():
             sets = per_doc
         else:
             sets = (

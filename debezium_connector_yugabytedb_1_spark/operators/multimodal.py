@@ -74,11 +74,18 @@ def extract_features(
                 # boundaries replicating np.array_split (first len%n chunks
                 # one element longer), and take chunk means via a single
                 # cumulative sum — no per-row numpy calls, no per-row dicts.
-                payloads = [bytes(p) for p in pdf["payload"]]
+                # each payload runs through the codec seam (_fake_decode —
+                # swap for PIL/torchaudio on a real cluster); everything
+                # AFTER decode stays vectorized over the whole Arrow batch
+                decoded = [_fake_decode(bytes(p)) for p in pdf["payload"]]
                 lens = np.fromiter(
-                    (len(p) for p in payloads), dtype=np.int64, count=n_rows
+                    (d.size for d in decoded), dtype=np.int64, count=n_rows
                 )
-                big = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+                big = (
+                    np.concatenate(decoded)
+                    if decoded
+                    else np.zeros(0, dtype=np.uint8)
+                )
                 csum = np.concatenate(
                     ([0.0], np.cumsum(big, dtype=np.float64))
                 )

@@ -58,6 +58,34 @@ def _neg_off() -> Column:
     )
 
 
+# ---------------------------------------------------------------------------
+# Unsigned hybrid-time comparison fidelity: the reference compares commit /
+# record / safe times as UNSIGNED 64-bit values (``Message
+# .toUnsignedBigInteger:173-184`` routes every comparator through
+# ``BigInteger`` built from the unsigned magnitude). A signed-long compare
+# agrees everywhere except when the sign bit is set (HT values >= 2^63).
+# Flipping the sign bit is an order isomorphism unsigned->signed, so every
+# comparison below runs on the flipped key while raw values flow through
+# unchanged.
+
+_U64_MASK = (1 << 64) - 1
+_SIGN_BIT = 1 << 63
+_MIN_LONG = -_SIGN_BIT
+
+
+def ht_key(col: Column | str) -> Column:
+    """Spark-side order key: signed long whose signed order equals the
+    UNSIGNED order of the wire value (sign-bit flip via XOR with MIN_LONG)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.bitwiseXOR(F.lit(_MIN_LONG))
+
+
+def ht_key_py(v: int) -> int:
+    """Driver-side twin of ``ht_key`` for scalar thresholds."""
+    k = (v & _U64_MASK) ^ _SIGN_BIT
+    return k - (1 << 64) if k >= _SIGN_BIT else k
+
+
 def last_writer_wins(
     df: DataFrame,
     key_cols=KEY_COLS,
@@ -100,11 +128,12 @@ def release_gate(
     have = {r["tablet_id"]: r["safe_time"] for r in rows if r["safe_time"] is not None}
     if consumed_tablets is not None and not set(consumed_tablets) <= set(have):
         return df.where(F.lit(False)), df  # some tablet's safetime unknown
-    stream_safetime = min(have.values()) if have else None
-    if stream_safetime is None:  # no safepoint seen yet: nothing is safe
+    if not have:  # no safepoint seen yet: nothing is safe
         return df.where(F.lit(False)), df
-    released = df.where(F.col("commit_time") <= F.lit(stream_safetime))
-    held = df.where(F.col("commit_time") > F.lit(stream_safetime))
+    # min / threshold comparisons run UNSIGNED (ht_key), like the reference
+    gate_key = min(ht_key_py(v) for v in have.values())
+    released = df.where(ht_key("commit_time") <= F.lit(gate_key))
+    held = df.where(ht_key("commit_time") > F.lit(gate_key))
     return released, held
 
 
@@ -124,11 +153,17 @@ def commit_time_order(df: DataFrame) -> DataFrame:
     """M1 — consistent release order within a micro-batch: sort by
     ``(commit_time, BEGIN<DML<COMMIT, record_time, offset)`` (the Merger's
     comparator, ``Message.compareTo:64-79`` — commit time first, then the
-    txn-marker law, then record time for non-markers). Range-partitioned
+    txn-marker law, then record time for non-markers; both time compares are
+    UNSIGNED, ``Message.toUnsignedBigInteger:173-184``). Range-partitioned
     sort; used when a consumer needs cross-tablet commit order, not for
     state replay."""
     return df.orderBy(
-        "commit_time", msg_rank(), "record_time", "term", "index", "write_id"
+        ht_key("commit_time"),
+        msg_rank(),
+        ht_key("record_time"),
+        "term",
+        "index",
+        "write_id",
     )
 
 

@@ -69,16 +69,15 @@ def lsh_signatures(
     n_planes: int = 16,
     n_tables: int = 4,
     seed: int = 7,
-    dim: int | None = None,
+    *,
+    dim: int,
 ) -> DataFrame:
     """Random-hyperplane signatures: one (id, table, bucket) row per table.
     mapInPandas with matrix multiply per Arrow batch — vectorized.
 
-    Pass ``dim`` when known: inferring it costs a driver-side ``first()``
-    action in the plan-build path (acceptable interactively, not in a
-    pipeline)."""
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+    ``dim`` is REQUIRED (keyword-only): inferring it would cost a
+    driver-side ``first()`` action in the plan-build path — a hidden scan
+    that serializes into every caller's pipeline."""
     planes = [_planes(n_planes, dim, t, seed) for t in range(n_tables)]
     n_t = n_tables
 
@@ -109,12 +108,12 @@ def lsh_topk(
     vec_col: str = "embedding",
     n_planes: int = 12,
     n_tables: int = 6,
-    dim: int | None = None,
+    *,
+    dim: int,
 ) -> DataFrame:
     """Approximate top-k: candidates = bucket collisions in any table, then
-    exact cosine re-rank of candidates only."""
-    if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+    exact cosine re-rank of candidates only. ``dim`` is required — see
+    ``lsh_signatures``."""
     sig_c = lsh_signatures(corpus, vec_col, id_col, n_planes, n_tables, dim=dim)
     sig_q = lsh_signatures(
         queries, vec_col, id_col, n_planes, n_tables, dim=dim
@@ -254,10 +253,11 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     n_planes: int = 12,
     n_tables: int = 6,
-    dim: int | None = None,
+    *,
+    dim: int,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b) via LSH candidates +
-    exact verify."""
+    exact verify. ``dim`` is required — see ``lsh_signatures``."""
     sig = lsh_signatures(df, vec_col, id_col, n_planes, n_tables, dim=dim)
     a, b = sig.alias("a"), sig.alias("b")
     cand = (

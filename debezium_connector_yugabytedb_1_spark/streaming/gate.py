@@ -8,12 +8,18 @@ records beyond the gate wait in a pending queue and re-enter on a later
 poll (``Merger.java:116-133``, ``YugabyteDBConsistentStreamingSource
 .java:174-254``).
 
-Spark-first re-expression: the pending queue is a small parquet carry-over
-store written once per trigger; the safetime map is driver-side JSON state
-(one entry per tablet — the same cardinality the reference holds on-heap).
-Each trigger unions the carried rows with the new batch, splits at the
-stream safetime (a broadcast scalar comparison — no shuffle), persists the
-held remainder, and hands the released prefix to the normal apply chain.
+Spark-first re-expression: the pending queue is an APPEND-ONLY parquet
+segment store — each trigger writes exactly one segment holding only the
+NEWLY held rows of that trigger; the carried backlog is the union of live
+segments filtered to ``commit_time > released_upto``. Because release is a
+monotone commit-time threshold, a row's liveness is decided by the scalar
+``released_upto`` alone: no segment is ever rewritten on release, so total
+bytes written across k closed-gate triggers is O(backlog), not O(k*backlog).
+Segments whose max commit-time falls below the threshold are dropped whole;
+when the estimated dead fraction of the remaining segments exceeds ~50%,
+the live remainder is compacted into one fresh segment. The safetime map is
+driver-side JSON state (one entry per tablet — the same cardinality the
+reference holds on-heap).
 
 Why this closes the two documented out-of-order caveats (stream.py): the
 released sets form commit-time-complete prefixes per trigger — the
@@ -22,10 +28,21 @@ later trigger can deliver a record older than anything already applied, so
 per-column LWW never sees a stale partial update after a newer one, and a
 DDL marker is always applied in its commit-order position.
 
-Crash consistency: pending versions are keyed by trigger batch id — a
-replayed trigger rewrites the same version (idempotent), and the safetime
-state merge is a per-tablet max (idempotent). The sink's batch-id skip and
-monotonic fold absorb the replayed merge itself.
+Crash-recovery invariant (ordering with the checkpoint): ``apply_batch``
+calls ``gate.process`` BEFORE ``ckpt.commit`` — held rows are durable in
+this store before the source offsets are acknowledged, so a crash between
+the two never leaves acked rows that exist nowhere durable. Within
+``process`` itself, replay of the same trigger id (Spark re-runs
+foreachBatch when the crash lands after our state save but before Spark's
+own source commit) is handled by snapshotting the pre-trigger view
+(``prev``) in the state file: a replayed id restores that view, excludes
+its own half-written segment from the carried set, and re-derives the SAME
+released rows. Physical deletion of retired segments is deferred one
+trigger (until a NEW id arrives, proving Spark committed the previous one),
+so a restored view's segment files still exist. The returned ``released``
+DataFrame is lazy — it reads segment files when the caller's MERGE runs —
+which is safe for the same reason: nothing it reads is deleted until the
+next trigger id is processed.
 """
 
 from __future__ import annotations
@@ -38,11 +55,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.filters import NON_DISPATCHED_OPS
+from ..operators.order import ht_key, ht_key_py
 
 
 class ConsistentGate:
-    """Stateful release gate: hold records beyond the stream safetime in a
-    parquet carry-over store; re-inject them on the next trigger."""
+    """Stateful release gate: hold records beyond the stream safetime in an
+    append-only parquet segment store; re-inject them on later triggers."""
+
+    #: compact the live remainder when estimated-dead/total exceeds this
+    COMPACT_DEAD_FRACTION = 0.5
 
     def __init__(
         self, spark: SparkSession, path: str, tablets: list[str] | None = None
@@ -65,8 +86,17 @@ class ConsistentGate:
         p = self._state_path()
         if os.path.exists(p):
             with open(p) as f:
-                return json.load(f)
-        return {"safetimes": {}, "seen": [], "pending": None, "old": []}
+                st = json.load(f)
+        else:
+            st = {}
+        st.setdefault("safetimes", {})
+        st.setdefault("seen", [])
+        st.setdefault("segments", [])  # [{name, rows, min_ct, max_ct}]
+        st.setdefault("retired", [])  # names; deleted on the next NEW id
+        st.setdefault("released_upto", None)
+        st.setdefault("last_bid", None)
+        st.setdefault("prev", None)  # {segments, released_upto} snapshot
+        return st
 
     def _save_state(self, st: dict) -> None:
         tmp = self._state_path() + ".tmp"
@@ -83,15 +113,116 @@ class ConsistentGate:
         times = st["safetimes"]
         if not consumed or not consumed <= set(times):
             return None
-        return min(times[t] for t in consumed)
+        # min over the UNSIGNED order (Message.toUnsignedBigInteger:173-184);
+        # the raw wire value achieving it is returned
+        return min((times[t] for t in consumed), key=ht_key_py)
 
+    # ------------------------------------------------------- segments
+    def _seg_df(self, st: dict, exclude: set[str] = frozenset()) -> DataFrame | None:
+        """Union of live segments, filtered to logically-live rows."""
+        names = [s["name"] for s in st["segments"] if s["name"] not in exclude]
+        if not names:
+            return None
+        df = self.spark.read.parquet(*[os.path.join(self.path, n) for n in names])
+        if st["released_upto"] is not None:
+            # released_upto (and segment extents) live in the ht_key domain
+            df = df.where(ht_key("commit_time") > F.lit(st["released_upto"]))
+        return df
+
+    def _write_segment(self, df: DataFrame, name: str, st: dict) -> None:
+        """Write ``df`` as a segment (only if nonempty) and record its row
+        count + commit-time extent (in the UNSIGNED-order ht_key domain) —
+        O(#segments) driver state used for whole-segment drops and the
+        compaction heuristic."""
+        stats = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(ht_key("commit_time")).alias("lo"),
+            F.max(ht_key("commit_time")).alias("hi"),
+        ).collect()[0]
+        if stats["n"] == 0:
+            return
+        df.write.mode("overwrite").parquet(os.path.join(self.path, name))
+        st["segments"].append(
+            {
+                "name": name,
+                "rows": int(stats["n"]),
+                "min_ct": int(stats["lo"]),
+                "max_ct": int(stats["hi"]),
+            }
+        )
+
+    def _sweep_and_compact(self, st: dict, bid: str) -> None:
+        """Drop fully-released segments; compact the rest when the
+        estimated dead fraction crosses COMPACT_DEAD_FRACTION. Retired
+        names are only physically deleted on the next NEW trigger id."""
+        upto = st["released_upto"]
+        if upto is None or not st["segments"]:
+            return
+        live, total_rows, dead_est = [], 0, 0.0
+        for s in st["segments"]:
+            total_rows += s["rows"]
+            if s["max_ct"] <= upto:  # fully released — drop whole
+                st["retired"].append(s["name"])
+                dead_est += s["rows"]
+            else:
+                live.append(s)
+                if s["min_ct"] <= upto:  # partially released — estimate
+                    span = max(s["max_ct"] - s["min_ct"], 1)
+                    dead_est += s["rows"] * (upto - s["min_ct"]) / span
+        st["segments"] = live
+        if (
+            len(live) > 1
+            and total_rows > 0
+            and dead_est / total_rows > self.COMPACT_DEAD_FRACTION
+        ):
+            remainder = self._seg_df(st)
+            old = st["segments"]
+            st["segments"] = []
+            # new path name, old paths only read — no self-overwrite
+            self._write_segment(remainder, f"compact_b{bid}", st)
+            st["retired"].extend(s["name"] for s in old)
+
+    def _delete_retired_and_orphans(self, st: dict) -> None:
+        """Physical cleanup, called only when a NEW trigger id arrives (the
+        previous trigger is then known committed, so nothing restored from
+        ``prev`` can still need these files). Orphans are half-written
+        segments from a crashed attempt that never reached the state file."""
+        known = {s["name"] for s in st["segments"]}
+        if st["prev"]:
+            known |= {s["name"] for s in st["prev"]["segments"]}
+        for name in st["retired"]:
+            shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+        st["retired"] = []
+        for entry in os.listdir(self.path):
+            if entry.startswith(("seg_b", "compact_b")) and entry not in known:
+                shutil.rmtree(os.path.join(self.path, entry), ignore_errors=True)
+
+    # -------------------------------------------------------- process
     def process(self, batch: DataFrame, batch_id: int | str) -> DataFrame:
         """One trigger: advance safetimes from this batch's SAFEPOINTs,
-        union the carried rows, release the ``commit_time <= safetime``
-        prefix, persist the rest. Returns the released rows."""
+        union the carried backlog, release the ``commit_time <= safetime``
+        prefix, append ONLY the newly held rows as one segment. Returns the
+        released rows (lazy — consumed by the caller's apply chain)."""
+        bid = str(batch_id)
         st = self.state()
+        replay = st["last_bid"] is not None and bid == st["last_bid"]
+        if replay:
+            # crashed-then-replayed trigger: restore the pre-trigger view so
+            # the SAME released set is re-derived; our own segment from the
+            # crashed attempt is excluded (it will be overwritten below) and
+            # retired files were never deleted (deletion is deferred).
+            st["segments"] = st["prev"]["segments"]
+            st["released_upto"] = st["prev"]["released_upto"]
+            st["retired"] = []
+        else:
+            self._delete_retired_and_orphans(st)
+        prev = {
+            "segments": [dict(s) for s in st["segments"]],
+            "released_upto": st["released_upto"],
+        }
         # one tiny aggregation collects both the safepoint watermarks and
-        # the consumed-tablet set (driver state is O(#tablets))
+        # the consumed-tablet set (driver state is O(#tablets)); the merge
+        # is a per-tablet max — idempotent under replay
         obs = (
             batch.groupBy("tablet_id")
             .agg(
@@ -107,48 +238,54 @@ class ConsistentGate:
                 st["seen"].append(t)
             if r["safe_time"] is not None:
                 st["safetimes"][t] = max(
-                    st["safetimes"].get(t, r["safe_time"]), r["safe_time"]
+                    st["safetimes"].get(t, r["safe_time"]),
+                    r["safe_time"],
+                    key=ht_key_py,
                 )
-        union = batch.where(~F.col("op").isin(*NON_DISPATCHED_OPS))
-        if st["pending"]:
-            carried = self.spark.read.parquet(os.path.join(self.path, st["pending"]))
-            union = union.unionByName(carried, allowMissingColumns=True)
+        new_rows = batch.where(~F.col("op").isin(*NON_DISPATCHED_OPS))
+        carried = self._seg_df(st, exclude={f"seg_b{bid}"})
         gate = self.stream_safetime(st)
         if gate is None:
-            released = union.where(F.lit(False))
-            held = union
+            released = new_rows.where(F.lit(False))
+            held_new = new_rows
         else:
-            released = union.where(F.col("commit_time") <= F.lit(gate))
-            held = union.where(F.col("commit_time") > F.lit(gate))
-        rel = f"pending_b{batch_id}"
-        held.write.mode("overwrite").parquet(os.path.join(self.path, rel))
-        # retire older pending versions lazily — the previous one must stay
-        # on disk until `released` (which reads it) has been consumed, so
-        # only versions at least two triggers old are deleted
-        for old in st["old"]:
-            shutil.rmtree(os.path.join(self.path, old), ignore_errors=True)
-        st["old"] = [st["pending"]] if st["pending"] else []
-        st["pending"] = rel
+            gk = F.lit(ht_key_py(gate))
+            released = new_rows.where(ht_key("commit_time") <= gk)
+            if carried is not None:
+                released = released.unionByName(
+                    carried.where(ht_key("commit_time") <= gk),
+                    allowMissingColumns=True,
+                )
+            held_new = new_rows.where(ht_key("commit_time") > gk)
+        # durable FIRST (before the caller commits offsets): only the new
+        # trigger's held rows are written — the backlog is never rewritten
+        self._write_segment(held_new, f"seg_b{bid}", st)
+        if gate is not None:
+            gate_key = ht_key_py(gate)
+            st["released_upto"] = (
+                gate_key
+                if st["released_upto"] is None
+                else max(st["released_upto"], gate_key)
+            )
+        self._sweep_and_compact(st, bid)
+        st["last_bid"] = bid
+        st["prev"] = prev
         self._save_state(st)
         return released
 
+    # ---------------------------------------------------------- drain
     def flush(self) -> DataFrame | None:
         """End-of-log drain: release everything still pending (no further
         records can arrive, so commit-order release is trivially satisfied).
         Returns the drained rows, or None if nothing is pending."""
-        st = self.state()
-        if not st["pending"]:
-            return None
-        carried = self.spark.read.parquet(os.path.join(self.path, st["pending"]))
-        return carried
+        return self._seg_df(self.state())
 
     def clear_pending(self) -> None:
         """Drop the pending store after a flush drain has been applied —
         the sink's batch-id skip and monotonic fold would absorb a
         re-drain, but clearing keeps restarts from re-reading stale rows."""
         st = self.state()
-        for rel in [st["pending"], *st["old"]]:
-            if rel:
-                shutil.rmtree(os.path.join(self.path, rel), ignore_errors=True)
-        st["pending"], st["old"] = None, []
+        for name in [s["name"] for s in st["segments"]] + st["retired"]:
+            shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+        st["segments"], st["retired"], st["prev"] = [], [], None
         self._save_state(st)

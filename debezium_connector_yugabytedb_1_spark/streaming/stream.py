@@ -70,12 +70,15 @@ def apply_batch(
     import json
 
     if gate is not None:
-        # consistent mode: offsets are committed for the CONSUMED batch
-        # (held rows are durable in the gate's pending store, so they are
-        # not lost on restart); the gate then narrows what this trigger
-        # applies to the released commit-time prefix
-        ckpt.commit(batch_offsets(batch))
+        # consistent mode: offsets are committed for the CONSUMED batch,
+        # but only AFTER gate.process has persisted the held rows — the
+        # checkpoint may run ahead of applied state only because the
+        # pending store is durable first; a crash between the two leaves
+        # un-acked offsets, which the source re-delivers and the gate's
+        # replay path re-derives idempotently (gate.py module docstring)
+        offs = batch_offsets(batch)
         batch = gate.process(batch, batch_id)
+        ckpt.commit(offs)
     # DDL cut within the trigger: apply each DDL exactly at its offset, with
     # the events before/after it folded under the schema of their time —
     # same semantics as CdcPipeline._process_window

@@ -114,3 +114,116 @@ def test_gate_pending_survives_restart(spark, tmp_path):
     assert g2.flush().count() == triggers[0].where(
         ~F.col("op").isin("SAFEPOINT", "NOOP", "BEGIN", "COMMIT")
     ).count()
+
+
+# ---------------------------------------------------------------------------
+# round 4: append-only pending store, replay idempotence, sweep/compaction
+
+
+def _dir_bytes(root):
+    out = {}
+    for name in os.listdir(root):
+        p = os.path.join(root, name)
+        if os.path.isdir(p):
+            out[name] = sum(
+                os.path.getsize(os.path.join(p, f)) for f in os.listdir(p)
+            )
+    return out
+
+
+def test_gate_append_only_bytes_while_closed(spark, tmp_path):
+    """k closed-gate triggers write O(backlog) total: one NEW segment per
+    trigger, earlier segments' bytes untouched (no rewrite amplification)."""
+    ev = _corpus(spark)
+    triggers, tablets = _triggers(spark, ev)
+    chunks = [
+        triggers[0].where((F.col("index") % 4) == i).localCheckpoint()
+        for i in range(4)
+    ]
+    path = str(tmp_path / "g_append")
+    gate = ConsistentGate(spark, path, tablets=tablets)
+    seen_bytes = {}
+    for i, chunk in enumerate(chunks):
+        released = gate.process(chunk, i)
+        assert released.count() == 0  # DDL tablet silent -> closed
+        sizes = _dir_bytes(path)
+        segs = [n for n in sizes if n.startswith("seg_b")]
+        assert len(segs) == i + 1  # exactly one new segment per trigger
+        for name, nbytes in seen_bytes.items():
+            assert sizes[name] == nbytes  # prior segments never rewritten
+        seen_bytes = sizes
+    held_total = sum(
+        c.where(~F.col("op").isin("SAFEPOINT", "NOOP", "BEGIN", "COMMIT")).count()
+        for c in chunks
+    )
+    assert gate.flush().count() == held_total  # no duplication across segments
+
+
+def test_gate_replay_of_same_trigger_is_idempotent(spark, tmp_path):
+    """Crash-after-state-save then foreachBatch replay: the replayed id
+    restores the pre-trigger view and re-derives the SAME released rows;
+    no AnalysisException, no duplicates, and the full double-applied
+    stream still converges to the batch ground truth."""
+    ev = _corpus(spark)
+    expected = _expected(spark, str(tmp_path), ev)
+    triggers, tablets = _triggers(spark, ev)
+
+    # direct unit: process twice with the state save in between
+    g = ConsistentGate(spark, str(tmp_path / "g_unit"), tablets=tablets)
+    g.process(triggers[0], 0)
+    rel_a = sorted(str(r) for r in g.process(triggers[1], 1).collect())
+    rel_b = sorted(str(r) for r in g.process(triggers[1], 1).collect())
+    assert rel_b == rel_a and len(rel_a) > 0
+
+    # end-to-end: every trigger applied twice (replay) through apply_batch
+    t = LakeTable(spark, str(tmp_path / "lake_rp"), n_buckets=4)
+    t.init([("commit", "string"), ("lang", "string"), ("content", "string")])
+    ck = CheckpointStore(spark, str(tmp_path / "ck_rp"))
+    gate = ConsistentGate(spark, str(tmp_path / "g_rp"), tablets=tablets)
+    for i, trig in enumerate(triggers):
+        apply_batch(trig, i, t, ck, gate=gate)
+        apply_batch(trig, i, t, ck, gate=gate)  # replayed trigger
+    drained = gate.flush()
+    if drained is not None:
+        apply_batch(drained, "gate-flush", t, ck)
+    assert {tuple(r) for r in t.read().collect()} == expected
+
+
+def test_gate_sweep_drops_released_segments_and_compacts(spark, tmp_path):
+    """Release is a monotone commit-time threshold: fully-released segments
+    are dropped whole, and once the estimated dead fraction crosses 50% the
+    live remainder is compacted into one segment — with deferred physical
+    deletion (files survive until the next NEW trigger id)."""
+    path = str(tmp_path / "g_cpt")
+    schema = "tablet_id string, op string, commit_time long, k string"
+
+    def mk(rows):
+        return spark.createDataFrame(rows, schema)
+
+    gate = ConsistentGate(spark, path, tablets=["a", "b"])
+    for i, lo in enumerate((1, 11, 21)):  # three closed-gate segments
+        batch = mk([("a", "c", ct, f"k{ct}") for ct in range(lo, lo + 10)])
+        assert gate.process(batch, i).count() == 0
+    # safepoints open the gate at min(100, 17) = 17
+    rel = gate.process(
+        mk([("a", "SAFEPOINT", 100, None), ("b", "SAFEPOINT", 17, None)]), 3
+    )
+    assert sorted(r["commit_time"] for r in rel.collect()) == list(range(1, 18))
+    st = gate.state()
+    from debezium_connector_yugabytedb_1_spark.operators.order import ht_key_py
+
+    assert st["released_upto"] == ht_key_py(17)
+    # seg_b0 (1-10) fully dead -> dropped; dead est 16.7/30 > 0.5 -> compacted
+    assert [s["name"] for s in st["segments"]] == ["compact_b3"]
+    assert {"seg_b0", "seg_b1", "seg_b2"} <= set(st["retired"])
+    assert os.path.isdir(os.path.join(path, "seg_b1"))  # deletion deferred
+    assert sorted(r["commit_time"] for r in gate.flush().collect()) == list(
+        range(18, 31)
+    )
+    # a NEW trigger id proves the previous one committed -> physical cleanup
+    gate.process(mk([("a", "NOOP", 101, None)]), 4)
+    left = {n for n in os.listdir(path) if n.startswith(("seg_", "compact_"))}
+    assert left == {"compact_b3"}
+    assert sorted(r["commit_time"] for r in gate.flush().collect()) == list(
+        range(18, 31)
+    )
