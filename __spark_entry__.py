@@ -477,6 +477,19 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     ).select("doc_a", "doc_b", "inter", "na", "nb")
 
 
+def q_dedup_groups(spark, sf_dir):
+    """Duplicate-group resolution: distributed connected components
+    (iterative min-label propagation + pointer jumping) over the exact
+    n-gram Jaccard pairs, with min-doc_id survivor election."""
+    from debezium_connector_yugabytedb_1_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        resolve_groups,
+    )
+
+    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), k=3, threshold=0.5, max_df=256)
+    return resolve_groups(pairs)
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     """Rows-only check: MinHash+LSH candidates verified by exact Jaccard
     (signature hashes are engine-specific, not SQL-replicable)."""
@@ -783,6 +796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_before_image": q_cdc_before_image,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_groups": q_dedup_groups,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "ann_brute_force_topk": q_ann_brute_force_topk,
@@ -1031,6 +1045,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_a, doc_b, inter, sa.n_sh AS na, sb.n_sh AS nb
             FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
             WHERE inter * 1.0 >= 0.5 * (sa.n_sh + sb.n_sh - inter)
+        """,
+        "dedup_groups": f"""
+            WITH RECURSIVE sh0 AS ({_SH_SQL}),
+            keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 256),
+            sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id),
+            pairs AS (
+              SELECT doc_a, doc_b
+              FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+              WHERE inter * 1.0 >= 0.5 * (sa.n_sh + sb.n_sh - inter)),
+            edges AS (
+              SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+            reach(n, m) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a)
+            SELECT n AS doc_id, least(n, min(m)) AS group_id,
+                   least(n, min(m)) = n AS is_survivor
+            FROM reach GROUP BY n
         """,
         "ann_brute_force_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),

@@ -348,3 +348,92 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text", prefix_bits: int = 16
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+# ----------------------------------------------------- group resolution
+def resolve_groups(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Resolve near-duplicate PAIRS into duplicate GROUPS and elect
+    survivors — the last step of the dedup story that the pair operators
+    (``ngram_jaccard_pairs`` / ``minhash_lsh_pairs`` / ``simhash_pairs`` /
+    ``embedding_near_dup_pairs``) leave open: transitive chains (A~B, B~C
+    but A≁C) must land in ONE group with ONE survivor.
+
+    Distributed connected components by iterative min-label propagation
+    with pointer jumping:
+
+    - state is only (node, label) — the edge set is never collected;
+    - each round: label(n) ← min(label(n), min over neighbors' labels)
+      [one shuffle join + map-side-combinable min-agg], then pointer
+      jumping label(n) ← label(label(n)) [one more (node,label)-sized
+      join], which halves chain depth per round → O(log diameter) rounds;
+    - every round ends in ``localCheckpoint`` so the plan stays constant
+      size across iterations (no lineage blow-up at 100 TB), and a cheap
+      emptiness probe on the changed-label set exits at fixpoint.
+
+    Labels start as the node's own id, so the fixpoint label IS the
+    component's min doc_id — survivor election for free (matching
+    ``dedup_exact``'s min-doc_id-per-hash convention).
+
+    Returns (doc_id, group_id, is_survivor) for every doc that appears in
+    at least one pair; docs with no near-duplicate are their own trivial
+    group and are not emitted (union them in from the corpus if needed).
+    """
+    import logging
+
+    log = logging.getLogger(__name__)
+    half = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = (
+        half.union(half.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    iters = 0
+    for iters in range(1, max_iters + 1):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("node").alias("b"), F.col("label").alias("nl")),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("nl").alias("nbr"))
+            .select(F.col("a").alias("node"), "nbr")
+        )
+        stepped = labels.join(nbr_min, "node", "left").select(
+            "node", F.least("label", F.coalesce("nbr", "label")).alias("label")
+        )
+        # pointer jumping: follow the label one hop (labels are node ids, so
+        # the parent lookup is a self-join on the same (node,label) relation)
+        parent = stepped.select(
+            F.col("node").alias("label"), F.col("label").alias("plabel")
+        )
+        new_labels = (
+            stepped.join(parent, "label", "left")
+            .select("node", F.coalesce("plabel", "label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+        )
+        converged = changed.isEmpty()
+        labels = new_labels
+        if converged:
+            break
+    log.info("resolve_groups: fixpoint after %d iteration(s)", iters)
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("group_id"),
+        (F.col("node") == F.col("label")).alias("is_survivor"),
+    )
