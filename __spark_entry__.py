@@ -677,7 +677,9 @@ def q_cdc_typed_decode(spark, sf_dir):
     )
     iv_micros = i * 1000003 + F.pmod(i, F.lit(7))
     hstore_wire = F.concat(
-        F.lit('"a"=>"'), i.cast("string"), F.lit('", "b"=>"x'), i.cast("string"), F.lit('"')
+        F.lit('"a"=>"'), i.cast("string"), F.lit('", "b"=>"x'), i.cast("string"),
+        # value with escaped quotes + the literal ", " and "=>" sequences
+        F.lit('", "q"=>"v\\"=>\\", \\"w'), i.cast("string"), F.lit('"'),
     )
     enum_wire = F.element_at(
         F.array(F.lit("red"), F.lit("green"), F.lit("blue"), F.lit("bogus")),
@@ -848,7 +850,7 @@ def oracle_sql() -> dict[str, str]:
                 rtrim(rtrim((((i * 1000003 + i % 7)::DECIMAL(38,6)) / 1000000)::DECIMAL(38,6)::VARCHAR, '0'), '.')
                 || 'S' AS interval_iso,
               (((i * 123 + 7)::DECIMAL(38,2)) / 100)::DECIMAL(38,2)::VARCHAR AS money_str,
-              '{"a":"' || i || '","b":"x' || i || '"}' AS hstore_json,
+              '{"a":"' || i || '","b":"x' || i || '","q":"v\\"=>\\", \\"w' || i || '"}' AS hstore_json,
               CASE i % 4 WHEN 0 THEN 'red' WHEN 1 THEN 'green' WHEN 2 THEN 'blue' END AS enum_val,
               md5('u' || i) AS uuid_lc,
               lower(hex('v' || i)) AS bytea_hex,

@@ -223,17 +223,29 @@ def convert_hstore(col: Column | str, mode: str = "map") -> Column:
     """HSTORE wire text ``"k"=>"v", ...`` → map<string,string> or a JSON
     string (``convertHStore :575-580``, json writer ``:655-667``).
 
-    Parse limits (regex tokenizer): keys/values containing escaped quotes
-    (``\\\"``) or the literal separator sequences ``", "`` / ``"=>"``
-    INSIDE a value mis-split — the reference delegates to the JDBC HStore
-    converter for those; out of scope here, mirroring ``convert_array``'s
-    pre-r3 stance on exotic quoting."""
+    Full quoting parity with the JDBC HStore converter the reference
+    delegates to: pairs are tokenized as quoted-run patterns (escapes
+    ``\\\"`` and ``\\\\`` stay inside their run, exactly like
+    ``convert_array``'s element tokenizer), so keys/values containing
+    escaped quotes or the literal separator sequences ``", "`` / ``"=>"``
+    parse correctly; an unquoted ``NULL`` value is a real NULL."""
     c = _c(col)
-    # strip the quoting the hstore text format applies, then split
-    normalized = F.regexp_replace(c, r'"\s*=>\s*"', "\x01")
-    normalized = F.regexp_replace(normalized, r'"\s*,\s*"', "\x02")
-    normalized = F.regexp_replace(normalized, r'(^\s*")|("\s*$)', "")
-    m = F.str_to_map(normalized, F.lit("\x02"), F.lit("\x01"))
+    qrun = r'"(?:[^"\\]|\\.)*"'
+    # one token per "key"=>"value" (or =>NULL) pair; inter-pair commas are
+    # never inside a quoted run, so pair-shaped matches can't mis-split
+    toks = F.regexp_extract_all(c, F.lit(qrun + r"\s*=>\s*(?:" + qrun + "|NULL)"), 0)
+
+    def unesc(x):
+        return F.regexp_replace(x, r"\\(.)", "$1")
+
+    def entry(tok):
+        key = unesc(F.regexp_extract(tok, r'^"((?:[^"\\]|\\.)*)"', 1))
+        val = F.when(
+            tok.rlike(r"=>\s*NULL$"), F.lit(None).cast("string")
+        ).otherwise(unesc(F.regexp_extract(tok, r'"((?:[^"\\]|\\.)*)"$', 1)))
+        return F.struct(key.alias("key"), val.alias("value"))
+
+    m = F.map_from_entries(F.transform(toks, entry))
     empty = c.isNull() | (F.trim(c) == "")
     m = F.when(empty, F.lit(None)).otherwise(m)
     if mode == "json":

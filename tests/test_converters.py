@@ -95,6 +95,18 @@ def test_hstore_enum_uuid_bytea(spark):
         _one(spark, C.convert_hstore(F.lit('"k"=>"v"'), mode="json")) == '{"k":"v"}'
     )
     assert _one(spark, C.convert_hstore(F.lit(""))) is None
+    # full quoting parity: escaped quotes/backslashes, the literal
+    # separator sequences ", " and "=>" INSIDE values, and NULL values
+    hairy = '"k\\"x"=>"a\\\\b", "s"=>"p, \\"q\\"=>r", "n"=>NULL'
+    assert _one(spark, C.convert_hstore(F.lit(hairy))) == {
+        'k"x': "a\\b",
+        "s": 'p, "q"=>r',
+        "n": None,
+    }
+    assert (
+        _one(spark, C.convert_hstore(F.lit(hairy), mode="json"))
+        == '{"k\\"x":"a\\\\b","s":"p, \\"q\\"=>r","n":null}'
+    )
     assert _one(spark, C.convert_enum(F.lit("red"), allowed=("red", "green"))) == "red"
     assert _one(spark, C.convert_enum(F.lit("bogus"), allowed=("red", "green"))) is None
     assert (
