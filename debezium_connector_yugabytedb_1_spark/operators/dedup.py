@@ -185,8 +185,15 @@ def minhash_lsh_pairs(
     df-cap is applied by exploding the cached sets (cheap — no re-shingling
     of text) and anti-joining the broadcast hot-shingle list."""
     rows = n_hashes // bands
+    # shingles are hashed to 64-bit longs at the scan: the collected sets,
+    # the signature transforms, and the verify's array_intersect all run
+    # over 8-byte longs instead of multi-word strings (same set sizes and
+    # Jaccard modulo 2^-64 collisions; the df-cap counts are unchanged)
     sh = _spread(docs).select(
-        "doc_id", F.explode(word_shingles(text_col, k)).alias("shingle")
+        "doc_id",
+        F.explode(
+            F.transform(word_shingles(text_col, k), lambda s: F.xxhash64(s))
+        ).alias("shingle"),
     )
     per_doc = (
         sh.groupBy("doc_id")
@@ -291,15 +298,18 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .where(F.col("tok") != "")
     )
-    # Pre-aggregate to (doc_id, tok, count) first so the 64 bit-vote
+    # Pre-aggregate to (doc_id, token-hash, count) first so the 64 bit-vote
     # expressions evaluate once per DISTINCT token, not once per occurrence
     # (natural text repeats tokens heavily); votes weighted by the count are
-    # bit-for-bit identical to per-occurrence voting. Both aggregations are
-    # fixed-width hash aggs with map-side combine.
-    tok_counts = toks.groupBy("doc_id", "tok").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    h = F.xxhash64("tok")
+    # bit-for-bit identical to per-occurrence voting. Grouping by the
+    # 64-bit HASH rather than the token string shuffles 8-byte longs
+    # instead of strings (the votes only ever read the hash, so colliding
+    # tokens merging their counts yields identical vote sums). Both
+    # aggregations are fixed-width hash aggs with map-side combine.
+    tok_counts = toks.groupBy(
+        "doc_id", F.xxhash64("tok").alias("th")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    h = F.col("th")
     cnt = F.col("cnt")
     votes = tok_counts.groupBy("doc_id").agg(
         *[
