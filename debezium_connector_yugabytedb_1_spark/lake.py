@@ -369,14 +369,24 @@ class LakeTable:
         )
         bkt = bucket_expr(self.n_buckets, self.key_cols)
         salt = F.pmod(F.xxhash64(*self.key_cols, F.lit(7)), F.lit(salt_width))
+        # offsets ride the shuffle as ONE packed long instead of 3: the
+        # (term, index, write_id) lexicographic order is preserved by a
+        # 15/40/8-bit split with a +2 bias (covers the snapshot term -1 and
+        # the -2 sentinel; index < 2^40-2 ≈ 1.1e12 holds at 10^10-event
+        # scale, write_id is the intra-WAL-record index — single digits).
+        # This narrows both the shuffle row and every max(struct) sort
+        # buffer from 3 longs to 1.
+        pack = (
+            F.shiftleft(F.col("term") + 2, 48)
+            + F.shiftleft(F.col("index") + 2, 8)
+            + (F.col("write_id") + 2)
+        ).cast("long")
         ev = dml.select(
             *key,
             bkt.alias("bucket"),
             salt.alias("_salt"),
             "op",
-            "term",
-            "index",
-            "write_id",
+            pack.alias("_off"),
             *[F.col(f"after.{c}").alias(f"_v_{c}") for c in cols],
             *[cell_set(c).alias(f"_set_{c}") for c in cols],
         )
@@ -388,14 +398,17 @@ class LakeTable:
         # tombstone target rows re-enter the fold as DELETE events at their
         # stored offset — a late lower-offset upsert then loses the max()
         t_dead = F.coalesce(F.col("_deleted"), F.lit(False))
+        t_pack = (
+            F.shiftleft(F.col("_last_term") + 2, 48)
+            + F.shiftleft(F.col("_last_index") + 2, 8)
+            + (F.col("_last_write_id") + 2)
+        ).cast("long")
         tev = t.select(
             *key,
             bkt.alias("bucket"),
             salt.alias("_salt"),
             F.when(t_dead, F.lit("d")).otherwise(F.lit("r")).alias("op"),
-            F.col("_last_term").alias("term"),
-            F.col("_last_index").alias("index"),
-            F.col("_last_write_id").alias("write_id"),
+            t_pack.alias("_off"),
             *[F.col(c).alias(f"_v_{c}") for c in cols],
             *[(~t_dead).alias(f"_set_{c}") for c in cols],
             F.col("content_sha256").alias("_sha"),
@@ -403,11 +416,7 @@ class LakeTable:
         )
         u = ev.unionByName(tev, allowMissingColumns=True)
 
-        off = F.struct(
-            F.col("term").alias("term"),
-            F.col("index").alias("index"),
-            F.col("write_id").alias("write_id"),
-        )
+        off = F.col("_off")
         is_del = F.col("op").isin("d", "t")
         is_up = F.col("op").isin("c", "r", "u")
         is_target = F.col("_is_target").isNotNull() & F.col("_is_target")
@@ -437,11 +446,7 @@ class LakeTable:
             .agg(*aggs)
         )
 
-        neg = F.struct(
-            F.lit(-2).cast("long").alias("term"),
-            F.lit(-2).cast("long").alias("index"),
-            F.lit(-2).cast("long").alias("write_id"),
-        )
+        neg = F.lit(0).cast("long")  # packed (-2,-2,-2) == 0: below every real offset
         del_floor = F.coalesce(F.col("_last_del"), neg)
         exists = F.col("_last_up").isNotNull() & (
             F.coalesce(F.col("_last_up"), neg) > del_floor
@@ -465,9 +470,11 @@ class LakeTable:
         for c in cols:
             out_cols.append(F.when(live(c), F.col(f"_m_{c}")["v"]).alias(c))
         out_cols += [
-            F.col("_last_off")["term"].alias("_last_term"),
-            F.col("_last_off")["index"].alias("_last_index"),
-            F.col("_last_off")["write_id"].alias("_last_write_id"),
+            (F.shiftright("_last_off", 48) - 2).alias("_last_term"),
+            (F.shiftright("_last_off", 8).bitwiseAND(F.lit((1 << 40) - 1)) - 2).alias(
+                "_last_index"
+            ),
+            (F.col("_last_off").bitwiseAND(F.lit(0xFF)) - 2).alias("_last_write_id"),
         ]
         if "content" in cols:
             mc, ms = F.col("_m_content"), F.col("_m_sha")

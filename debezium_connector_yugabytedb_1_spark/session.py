@@ -30,8 +30,14 @@ def get_spark(
     # caller's cwd (cluster deployments ship it via spark-submit --py-files)
     pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     worker_pp = pkg_root + os.pathsep + os.environ.get("PYTHONPATH", "")
+    # $SPARK_GRAFT_MASTER overrides the master URL — used by the scaling
+    # controls to run the SAME job under local-cluster[W,C,MB] (W separate
+    # executor JVMs of C cores each, the closest single-host analogue to
+    # multi-executor deployment); ``cores`` should then be W*C so shuffle
+    # partitioning and GC sizing stay comparable to local[W*C]
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores}]")
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.default.parallelism", str(cores))
@@ -88,6 +94,17 @@ def get_spark(
             ),
         )
     )
+    if master.startswith("local-cluster"):
+        # separate executor JVMs: give each its memory + GC pool sized to
+        # its core slice (mirrors the driver-side pinning above)
+        w, c, mb = (int(x) for x in master[master.index("[") + 1 : -1].split(","))
+        builder = (
+            builder.config("spark.executor.memory", f"{mb}m")
+            .config(
+                "spark.executor.extraJavaOptions",
+                f"-XX:ParallelGCThreads={max(2, c)} -XX:ConcGCThreads={max(1, c // 2)}",
+            )
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
