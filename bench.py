@@ -244,9 +244,12 @@ def scaling(levels=(2, 8, 32)) -> None:
         for p in pairs
     )
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w") as f:
+    # BENCH/BASELINE.md is the curated cross-run analysis (quiet-window
+    # matrix + control experiments) — a single fresh run must not clobber
+    # it, so machine output goes to scaling_latest.*
+    with open("BENCH/scaling_latest.md", "w") as f:
         f.write(
-            f"""# BENCH — scaling evidence (north rule: efficiency >= 0.8 from N to 4N)
+            f"""# Latest `bench.py --scaling` run (see BASELINE.md for the curated matrix)
 
 Identical job (CDC replay tail→MERGE, {results[0]['n_events']:,} events, same
 corpus — pre-shredded wire, zstd parquet — same fixed input partitioning) at
@@ -307,15 +310,14 @@ bandwidth is private, so the remaining gap is expected to close toward the
 ALU-control number.
 """
         )
-    print(
-        json.dumps(
-            {
-                "scaling_efficiency": pairs[0]["efficiency"],
-                "pairs": pairs,
-                "levels": results,
-            }
-        )
-    )
+    payload = {
+        "scaling_efficiency": pairs[0]["efficiency"],
+        "pairs": pairs,
+        "levels": results,
+    }
+    with open("BENCH/scaling_latest.json", "w") as f:
+        json.dump(payload, f)
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

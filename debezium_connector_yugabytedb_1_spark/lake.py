@@ -381,10 +381,18 @@ class LakeTable:
             + F.shiftleft(F.col("index") + 2, 8)
             + (F.col("write_id") + 2)
         ).cast("long")
+        # 8-byte key hash leads the grouping columns: the complete-mode fold
+        # is a SortAggregate over (bucket, salt, key...), and putting _kh
+        # before the (repo, path) strings lets every sort comparison
+        # short-circuit on a long instead of comparing two strings
+        # (equal-hash ties fall through to the real key, so grouping is
+        # unchanged — _kh is a pure function of the key)
+        kh = F.xxhash64(*self.key_cols).alias("_kh")
         ev = dml.select(
             *key,
             bkt.alias("bucket"),
             salt.alias("_salt"),
+            kh,
             "op",
             pack.alias("_off"),
             *[F.col(f"after.{c}").alias(f"_v_{c}") for c in cols],
@@ -407,6 +415,7 @@ class LakeTable:
             *key,
             bkt.alias("bucket"),
             salt.alias("_salt"),
+            kh,
             F.when(t_dead, F.lit("d")).otherwise(F.lit("r")).alias("op"),
             t_pack.alias("_off"),
             *[F.col(c).alias(f"_v_{c}") for c in cols],
@@ -442,7 +451,7 @@ class LakeTable:
             )
         g = (
             u.repartition(self.n_buckets * salt_width, "bucket", "_salt")
-            .groupBy("bucket", "_salt", *key)
+            .groupBy("bucket", "_salt", "_kh", *key)
             .agg(*aggs)
         )
 
