@@ -184,6 +184,12 @@ def minhash_lsh_pairs(
     the verify sets read the same materialized rows. With ``max_df`` the
     df-cap is applied by exploding the cached sets (cheap — no re-shingling
     of text) and anti-joining the broadcast hot-shingle list."""
+    if n_hashes % bands != 0:
+        raise ValueError(
+            f"n_hashes ({n_hashes}) must be divisible by bands ({bands}); "
+            "a non-integer rows-per-band would silently floor-divide "
+            "(config.validate_config catches this at the front door)"
+        )
     rows = n_hashes // bands
     # shingles are hashed to 64-bit longs at the scan: the collected sets,
     # the signature transforms, and the verify's array_intersect all run

@@ -132,3 +132,9 @@ def test_simhash_distinct_token_votes_equal_per_occurrence(spark):
     naive = {r["doc_id"]: r["s"] for r in votes.select("doc_id", sig.alias("s")).collect()}
     fast = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
     assert naive == fast
+
+
+def test_minhash_rejects_indivisible_bands(spark):
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="divisible"):
+        minhash_lsh_pairs(docs, n_hashes=32, bands=7)
