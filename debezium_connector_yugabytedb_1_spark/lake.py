@@ -200,9 +200,14 @@ class LakeTable:
         if any(n == name for n, _, _ in cols):
             return False
         # pick a physical name no file has ever used (a prior column may
-        # have been renamed away from `name`, leaving old files with a
-        # physical `name` column holding THAT column's data)
-        used = {p for _, _, p in cols} | set(_META_COLS) | set(self.key_cols)
+        # have been renamed away from `name` — or DROPPED — leaving old
+        # files with a physical `name` column holding THAT column's data)
+        used = (
+            {p for _, _, p in cols}
+            | set(_META_COLS)
+            | set(self.key_cols)
+            | set(m.get("dropped_physicals", []))
+        )
         physical, fid = name, m["version"] + 1
         while physical in used:
             physical = f"{name}_f{fid}"
@@ -227,6 +232,28 @@ class LakeTable:
         m["columns"] = [
             [new if n == old else n, t, p] for n, t, p in cols
         ]
+        self._commit_manifest(m)
+        return True
+
+    def drop_column(self, name: str) -> bool:
+        """Metadata-only DROP COLUMN: the column leaves the manifest (reads
+        and future merges no longer see it) while existing files keep the
+        physical data until their bucket's next copy-on-write rewrite —
+        PostgreSQL's ``attisdropped`` storage model (the reference's schema
+        refresh reads only non-dropped columns, ``YugabyteDBSchema
+        :531-543``). The physical name is retired permanently so a later
+        ADD COLUMN of the same name maps to a FRESH physical column and can
+        never resurrect dropped data. Key columns cannot be dropped."""
+        if name in self.key_cols:
+            return False
+        m = self.manifest()
+        cols = self._cols3(m)
+        hit = [(n, t, p) for n, t, p in cols if n == name]
+        if not hit:
+            return False
+        m["version"] += 1
+        m["columns"] = [[n, t, p] for n, t, p in cols if n != name]
+        m.setdefault("dropped_physicals", []).append(hit[0][2])
         self._commit_manifest(m)
         return True
 

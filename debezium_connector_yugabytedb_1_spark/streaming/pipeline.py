@@ -333,6 +333,9 @@ class CdcPipeline:
         elif d.get("action") == "rename_column":
             if self.table.rename_column(d["old"], d["new"]):
                 applied.append(f"rename_column {d['old']}->{d['new']}")
+        elif d.get("action") == "drop_column":
+            if self.table.drop_column(d["name"]):
+                applied.append(f"drop_column {d['name']}")
         return applied
 
     # ------------------------------------------------------------------

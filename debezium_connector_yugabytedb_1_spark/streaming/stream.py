@@ -96,6 +96,8 @@ def apply_batch(
                 table.add_column(d["name"], d.get("type", "string"))
             elif d.get("action") == "rename_column":
                 table.rename_column(d["old"], d["new"])
+            elif d.get("action") == "drop_column":
+                table.drop_column(d["name"])
         sub = dml_all
         if cuts[i] is not None:
             sub = sub.where(F.col("index") >= cuts[i])

@@ -258,3 +258,81 @@ def test_lake_schema_evolution(spark, tmp_path):
     got = {(r["repo"], r["path"]): r for r in t.read().collect()}
     assert got[("r2", "p2")]["commit_sha"] == "zz"
     assert got[("r", "p")]["commit_sha"] == "a"
+
+
+def test_lake_drop_column_metadata_only(spark, tmp_path):
+    """DROP COLUMN leaves files untouched (attisdropped storage model) and
+    retires the physical name so re-adding the same logical name can never
+    resurrect dropped data."""
+    t = LakeTable(spark, str(tmp_path / "lk3"), n_buckets=2)
+    t.init([("commit", "string"), ("lang", "string"), ("content", "string")])
+    f = spark.createDataFrame(
+        [("r", "p", True, False, (0, 1, 0), 1, "a", "py", "c", True, True, True)],
+        "repo string, path string, exists boolean, had_delete boolean, "
+        "last_offset struct<term:long,index:long,write_id:long>, n_events long, "
+        "commit_val string, lang_val string, content_val string, "
+        "commit_set boolean, lang_set boolean, content_set boolean",
+    )
+    t.merge(f, "b1")
+    buckets_before = dict(t.manifest()["buckets"])
+    assert t.drop_column("lang")
+    assert not t.drop_column("lang")  # already gone
+    assert not t.drop_column("repo")  # key columns are not droppable
+    assert [n for n, _ in t.columns] == ["commit", "content"]
+    row = t.read().collect()[0]
+    assert "lang" not in row.asDict()
+    assert t.manifest()["buckets"] == buckets_before  # no rewrite
+    # re-adding the same logical name maps to a FRESH physical column:
+    # the dropped data must NOT come back, even before any bucket rewrite
+    assert t.add_column("lang", "string")
+    assert t.read().collect()[0]["lang"] is None
+    # the next merge (copy-on-write) physically sheds the dropped column
+    f2 = f.withColumnRenamed("lang_val", "drop_me").drop("lang_set") \
+        .withColumn("lang_val", F.lit("go")).withColumn("lang_set", F.lit(True)) \
+        .drop("drop_me") \
+        .withColumn("path", F.lit("p2")) \
+        .withColumn("last_offset", F.struct(F.lit(0).cast("long").alias("term"),
+                                            F.lit(2).cast("long").alias("index"),
+                                            F.lit(0).cast("long").alias("write_id")))
+    t.merge(f2, "b2")
+    got = {(r["repo"], r["path"]): r for r in t.read().collect()}
+    assert got[("r", "p2")]["lang"] == "go"
+    assert got[("r", "p")]["lang"] is None
+
+
+def test_pipeline_applies_drop_column_ddl(spark, tmp_path):
+    """Mid-stream DROP COLUMN DDL: events after the cut fold under the
+    narrowed schema (the dropped column's payload cells are ignored)."""
+    import json as _json
+
+    from debezium_connector_yugabytedb_1_spark.generator import (
+        generate_events,
+        write_events,
+    )
+    from debezium_connector_yugabytedb_1_spark.operators.checkpoint import (
+        CheckpointStore,
+    )
+    from debezium_connector_yugabytedb_1_spark.streaming.pipeline import CdcPipeline
+
+    ev = generate_events(spark, 2000, n_tablets=2, payload_format="shredded")
+    # splice a drop_column DDL over a NOOP row mid-log
+    noop = ev.where(F.col("op") == "NOOP").select("index").first()["index"]
+    payload = _json.dumps({"action": "drop_column", "name": "lang"})
+    spliced = ev.withColumn(
+        "op", F.when(F.col("index") == noop, F.lit("ddl")).otherwise(F.col("op"))
+    ).withColumn(
+        "payload",
+        F.when(F.col("index") == noop, F.lit(payload)).otherwise(F.col("payload")),
+    )
+    evp = str(tmp_path / "events")
+    write_events(spliced, evp, segment_size=500)
+    t = LakeTable(spark, str(tmp_path / "lake"), n_buckets=4)
+    t.init([("commit", "string"), ("lang", "string"), ("content", "string")])
+    res = CdcPipeline(
+        spark, evp, t, CheckpointStore(spark, str(tmp_path / "ck")),
+        events_per_batch=800,
+    ).run()
+    assert any("drop_column lang" in r.ddl_applied for r in res)
+    cols = t.read().columns
+    assert "lang" not in cols and "content" in cols
+    assert t.read().count() > 0
