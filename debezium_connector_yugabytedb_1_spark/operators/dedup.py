@@ -148,6 +148,46 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------- minhash
+def _hashed_shingle_sets(docs: DataFrame, text_col: str, k: int) -> DataFrame:
+    """Per-doc distinct shingle sets, hashed to 64-bit longs at the scan:
+    the collected sets, the signature transforms, and the verify's
+    array_intersect all run over 8-byte longs instead of multi-word strings
+    (same set sizes and Jaccard modulo 2^-64 collisions). localCheckpointed:
+    per-doc-bounded state, read by signatures AND verify."""
+    sh = _spread(docs).select(
+        "doc_id",
+        F.explode(
+            F.transform(word_shingles(text_col, k), lambda s: F.xxhash64(s))
+        ).alias("shingle"),
+    )
+    return (
+        sh.groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("sh"))
+        .localCheckpoint()
+    )
+
+
+def _banded_buckets(per_doc: DataFrame, n_hashes: int, bands: int) -> DataFrame:
+    """(doc_id, band, bucket) rows: minhash signatures as pure projections
+    over the cached sets (``array_min(transform(...))`` — no extra
+    shuffle), banded into ``bands`` xxhash64 buckets."""
+    rows = n_hashes // bands
+    sig_cols = [
+        F.array_min(
+            F.transform("sh", lambda s: F.xxhash64(s, F.lit(i)))
+        ).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    sig = per_doc.select("doc_id", *sig_cols)
+    band_buckets = F.array(
+        *[
+            F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)])
+            for b in range(bands)
+        ]
+    )
+    return sig.select("doc_id", F.posexplode(band_buckets).alias("band", "bucket"))
+
+
 def minhash_signatures(docs: DataFrame, text_col: str = "text", k: int = 3,
                        n_hashes: int = 32) -> DataFrame:
     """MinHash signature per doc: sig[i] = min over shingles of
@@ -191,37 +231,8 @@ def minhash_lsh_pairs(
             "(config.validate_config catches this at the front door)"
         )
     rows = n_hashes // bands
-    # shingles are hashed to 64-bit longs at the scan: the collected sets,
-    # the signature transforms, and the verify's array_intersect all run
-    # over 8-byte longs instead of multi-word strings (same set sizes and
-    # Jaccard modulo 2^-64 collisions; the df-cap counts are unchanged)
-    sh = _spread(docs).select(
-        "doc_id",
-        F.explode(
-            F.transform(word_shingles(text_col, k), lambda s: F.xxhash64(s))
-        ).alias("shingle"),
-    )
-    per_doc = (
-        sh.groupBy("doc_id")
-        .agg(F.collect_set("shingle").alias("sh"))
-        .localCheckpoint()
-    )
-    sig_cols = [
-        F.array_min(
-            F.transform("sh", lambda s: F.xxhash64(s, F.lit(i)))
-        ).alias(f"h{i}")
-        for i in range(n_hashes)
-    ]
-    sig = per_doc.select("doc_id", *sig_cols)
-    band_buckets = F.array(
-        *[
-            F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)])
-            for b in range(bands)
-        ]
-    )
-    banded = sig.select(
-        "doc_id", F.posexplode(band_buckets).alias("band", "bucket")
-    )
+    per_doc = _hashed_shingle_sets(docs, text_col, k)
+    banded = _banded_buckets(per_doc, n_hashes, bands)
     a = banded.alias("a")
     b_ = banded.alias("b")
     cand = (
@@ -453,3 +464,116 @@ def resolve_groups(
         F.col("label").alias("group_id"),
         (F.col("node") == F.col("label")).alias("is_survivor"),
     )
+
+
+# ------------------------------------------------- incremental minhash
+class MinHashIndex:
+    """Persisted MinHash-LSH index for INCREMENTAL dedup — the streaming
+    complement of ``minhash_lsh_pairs``: each new batch of documents is
+    checked against everything ingested so far WITHOUT re-shingling the
+    corpus, then folded into the index.
+
+    A real training-data pipeline ingests continuously; re-running batch
+    dedup over 100 TB per increment is O(corpus) per batch, while this is
+    O(batch) + one (band, bucket) equi-join against the stored postings:
+
+    - ``<path>/buckets``: (doc_id, band, bucket) — the LSH postings. At
+      cluster scale, write this bucketed/partitioned by
+      ``pmod(hash(band, bucket), N)`` so the candidate join is co-located
+      and shuffle-free; the sandbox keeps a plain parquet append.
+    - ``<path>/sets``: (doc_id, sh: array<long>) — hashed shingle sets for
+      the exact-Jaccard verify, per-doc-bounded rows.
+
+    ``add`` returns verified pairs among (new × stored) ∪ (new × new) at
+    the configured threshold — exactly the pairs batch
+    ``minhash_lsh_pairs`` (max_df=None) would emit over the union corpus
+    that involve at least one new doc (equivalence-tested). Each doc_id
+    must be added once; the df-cap variant is batch-only because document
+    frequencies are corpus-global.
+    """
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        text_col: str = "text",
+        k: int = 3,
+        n_hashes: int = 32,
+        bands: int = 8,
+        threshold: float = 0.5,
+    ):
+        import os
+
+        if n_hashes % bands != 0:
+            raise ValueError(
+                f"n_hashes ({n_hashes}) must be divisible by bands ({bands})"
+            )
+        self.spark = spark
+        self.path = path
+        self.text_col = text_col
+        self.k, self.n_hashes, self.bands = k, n_hashes, bands
+        self.threshold = threshold
+        os.makedirs(path, exist_ok=True)
+        self._buckets = os.path.join(path, "buckets")
+        self._sets = os.path.join(path, "sets")
+
+    def _read(self, p: str) -> DataFrame | None:
+        import os
+
+        if not os.path.isdir(p) or not any(
+            f.endswith(".parquet") for f in os.listdir(p)
+        ):
+            return None
+        return self.spark.read.parquet(p)
+
+    def add(self, docs: DataFrame) -> DataFrame:
+        per_doc = _hashed_shingle_sets(docs, self.text_col, self.k)
+        banded = _banded_buckets(per_doc, self.n_hashes, self.bands).localCheckpoint()
+        stored_b = self._read(self._buckets)
+        stored_s = self._read(self._sets)
+        new_a = banded.select(
+            F.col("doc_id").alias("doc_a"), "band", "bucket"
+        )
+        # new × new (a < b) plus stored × new — candidates carry at least
+        # one new doc; stored-internal pairs were emitted by earlier adds
+        cand = (
+            new_a.join(
+                banded.select(F.col("doc_id").alias("doc_b"), "band", "bucket"),
+                ["band", "bucket"],
+            )
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+        )
+        if stored_b is not None:
+            vs_stored = (
+                stored_b.select(F.col("doc_id").alias("old_id"), "band", "bucket")
+                .join(banded.select(F.col("doc_id").alias("new_id"), "band", "bucket"),
+                      ["band", "bucket"])
+                .where(F.col("old_id") != F.col("new_id"))
+                .select(
+                    F.least("old_id", "new_id").alias("doc_a"),
+                    F.greatest("old_id", "new_id").alias("doc_b"),
+                )
+            )
+            cand = cand.unionByName(vs_stored)
+        cand = cand.distinct()
+        sets = per_doc if stored_s is None else stored_s.unionByName(per_doc)
+        sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+        sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        na, nb = F.size("sh_a"), F.size("sh_b")
+        pairs = (
+            cand.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .select(
+                "doc_a", "doc_b", inter.alias("inter"), na.alias("na"), nb.alias("nb")
+            )
+            .where(
+                F.col("inter") * F.lit(1.0)
+                >= F.lit(self.threshold) * (F.col("na") + F.col("nb") - F.col("inter"))
+            )
+            .localCheckpoint()  # materialize BEFORE the index mutates below
+        )
+        banded.write.mode("append").parquet(self._buckets)
+        per_doc.write.mode("append").parquet(self._sets)
+        return pairs

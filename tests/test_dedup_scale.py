@@ -138,3 +138,26 @@ def test_minhash_rejects_indivisible_bands(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError, match="divisible"):
         minhash_lsh_pairs(docs, n_hashes=32, bands=7)
+
+
+def test_minhash_index_incremental_equals_batch(spark, tmp_path):
+    """Feeding the corpus through MinHashIndex in chunks yields exactly the
+    one-shot minhash_lsh_pairs output (max_df=None): every pair appears in
+    the add() of the chunk that completes it, with identical verify stats."""
+    from debezium_connector_yugabytedb_1_spark.operators.dedup import MinHashIndex
+
+    docs = _seeded_docs(spark)
+    want = {
+        (r["doc_a"], r["doc_b"], r["inter"], r["na"], r["nb"])
+        for r in minhash_lsh_pairs(docs, k=3, threshold=0.5, max_df=None).collect()
+    }
+    idx = MinHashIndex(spark, str(tmp_path / "mhidx"), k=3, threshold=0.5)
+    got = set()
+    for i in range(3):
+        chunk = docs.where(F.col("doc_id") % 3 == i)
+        rows = idx.add(chunk).collect()
+        new = {(r["doc_a"], r["doc_b"], r["inter"], r["na"], r["nb"]) for r in rows}
+        assert not (new & got), "a pair must be emitted by exactly one add()"
+        got |= new
+    assert got == want
+    assert len(want) >= 30  # the corpus genuinely seeds near-dup pairs
