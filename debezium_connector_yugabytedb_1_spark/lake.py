@@ -398,14 +398,18 @@ class LakeTable:
         salt = F.pmod(F.xxhash64(*self.key_cols, F.lit(7)), F.lit(salt_width))
         # offsets ride the shuffle as ONE packed long instead of 3: the
         # (term, index, write_id) lexicographic order is preserved by a
-        # 15/40/8-bit split with a +2 bias (covers the snapshot term -1 and
-        # the -2 sentinel; index < 2^40-2 ≈ 1.1e12 holds at 10^10-event
-        # scale, write_id is the intra-WAL-record index — single digits).
-        # This narrows both the shuffle row and every max(struct) sort
-        # buffer from 3 longs to 1.
+        # 14/38/11-bit split with a +2 bias (covers the snapshot term -1
+        # and the -2 sentinel). Budget: term < 2^14-2 (Raft terms are
+        # small), index < 2^38-2 ≈ 2.7e11 (27x the 10^10-event target),
+        # write_id < 2^11-2 = 2046 — the intra-WAL-record index is single
+        # digits, but split_pk_updates DOUBLES it (2w / 2w+1 for the
+        # delete/create pair), so the field must hold 2*max+1 (boundary-
+        # value equivalence test: test_merge_events_packed_offset_boundary
+        # _values). This narrows both the shuffle row and every
+        # max(struct) sort buffer from 3 longs to 1.
         pack = (
-            F.shiftleft(F.col("term") + 2, 48)
-            + F.shiftleft(F.col("index") + 2, 8)
+            F.shiftleft(F.col("term") + 2, 49)
+            + F.shiftleft(F.col("index") + 2, 11)
             + (F.col("write_id") + 2)
         ).cast("long")
         # 8-byte key hash leads the grouping columns: the complete-mode fold
@@ -434,8 +438,8 @@ class LakeTable:
         # stored offset — a late lower-offset upsert then loses the max()
         t_dead = F.coalesce(F.col("_deleted"), F.lit(False))
         t_pack = (
-            F.shiftleft(F.col("_last_term") + 2, 48)
-            + F.shiftleft(F.col("_last_index") + 2, 8)
+            F.shiftleft(F.col("_last_term") + 2, 49)
+            + F.shiftleft(F.col("_last_index") + 2, 11)
             + (F.col("_last_write_id") + 2)
         ).cast("long")
         tev = t.select(
@@ -506,11 +510,11 @@ class LakeTable:
         for c in cols:
             out_cols.append(F.when(live(c), F.col(f"_m_{c}")["v"]).alias(c))
         out_cols += [
-            (F.shiftright("_last_off", 48) - 2).alias("_last_term"),
-            (F.shiftright("_last_off", 8).bitwiseAND(F.lit((1 << 40) - 1)) - 2).alias(
+            (F.shiftright("_last_off", 49) - 2).alias("_last_term"),
+            (F.shiftright("_last_off", 11).bitwiseAND(F.lit((1 << 38) - 1)) - 2).alias(
                 "_last_index"
             ),
-            (F.col("_last_off").bitwiseAND(F.lit(0xFF)) - 2).alias("_last_write_id"),
+            (F.col("_last_off").bitwiseAND(F.lit(0x7FF)) - 2).alias("_last_write_id"),
         ]
         if "content" in cols:
             mc, ms = F.col("_m_content"), F.col("_m_sha")

@@ -201,3 +201,40 @@ def test_streaming_multi_trigger_converges_with_batch(spark, tmp_path):
     )
     assert a == b and len(a) > 0
     assert tb.read().columns == ta.read().columns  # DDL applied in both
+
+
+def test_merge_events_packed_offset_boundary_values(spark, tmp_path):
+    """The fused path packs (term, index, write_id) into one long
+    (14/38/11-bit fields, +2 bias). Push every field to its extremes —
+    snapshot term -1, term near 2^14, index near the 38-bit ceiling,
+    write_id (incl. the pku-split doubling) near the 11-bit ceiling — and
+    demand observational equality with the
+    unpacked fold_changes → merge path (any bit-budget error silently
+    reorders offsets and diverges the final state)."""
+    ev = generate_events(spark, 4000)
+    hi_index = (1 << 38) - 5000  # index + 2 must stay < 2^38
+    remapped = (
+        ev.withColumn("term", F.when(F.col("term") >= 0, F.col("term") + 16370)
+                      .otherwise(F.col("term")))
+        .withColumn("index", F.col("index") + F.lit(hi_index))
+        .withColumn("write_id", F.col("write_id") + 960)  # split doubles: up to ~2040
+    )
+    t_classic = LakeTable(spark, str(tmp_path / "classic"), n_buckets=4)
+    t_fused = LakeTable(spark, str(tmp_path / "fused"), n_buckets=4)
+    for t in (t_classic, t_fused):
+        t.init(COLS)
+    cols = [n for n, _ in COLS]
+    windows = [(0, 2000), (2000, 4000), (0, 2000)]  # incl. stale redelivery
+    for i, (lo, hi) in enumerate(windows):
+        w = remapped.where(
+            (F.col("index") >= lo + hi_index) & (F.col("index") < hi + hi_index)
+        )
+        t_classic.merge(fold_changes(_dml(w), columns=cols), f"b{i}")
+        t_fused.merge_events(_dml(w), f"b{i}")
+    snap_c, snap_f = _snap(t_classic), _snap(t_fused)
+    assert snap_c == snap_f
+    # the boundary offsets round-trip exactly through pack/unpack
+    terms = {r[5] for r in snap_f}
+    assert terms <= {16370 + k for k in range(3)} | {-1}
+    assert all(r[6] >= hi_index for r in snap_f)
+    assert all(960 <= r[7] <= 2044 for r in snap_f)
