@@ -7,7 +7,10 @@ connection-time checks ``YugabyteDBgRPCConnector.validateTServerConnection
 same front-door contract: ``validate_config`` raises a targeted
 ``ConfigError`` for each class of bad input instead of letting it surface
 later as an enum coercion error, a mid-stream regex crash, or a silently
-floor-divided LSH band count.
+floor-divided LSH band count. Engine entry points call it on the settings
+they receive — ``CdcPipeline.__init__`` (filters, prefixes, skipped ops,
+batch size), ``LakeTable.__init__`` (bucket count), ``MinHashIndex``
+(LSH geometry); pass a full config dict directly for everything else.
 
 Checks and their reference counterparts:
 
@@ -112,7 +115,15 @@ def validate_config(cfg: dict) -> dict:
         if cfg.get("table_exclude")
         else None
     )
-    for c in cfg.get("column_exclude", ()):
+    col_exc = cfg.get("column_exclude", ())
+    if isinstance(col_exc, str):  # a single pattern, not a char sequence
+        col_exc = (col_exc,)
+    if not isinstance(col_exc, (list, tuple, set)):
+        raise ConfigError(
+            "column_exclude",
+            f"must be a regex string or a list of regex strings, got {col_exc!r}",
+        )
+    for c in col_exc:
         _regex("column_exclude", c)
 
     if cfg.get("message_prefix_include") and cfg.get("message_prefix_exclude"):
@@ -131,7 +142,9 @@ def validate_config(cfg: dict) -> dict:
     bim = cfg.get("before_image_mode")
     if bim is not None:
         valid = [m.value for m in BeforeImageMode]
-        if str(bim) not in valid and bim not in BeforeImageMode.__members__:
+        # accept the wire value, the enum member name, or an enum instance
+        raw = getattr(bim, "value", bim)
+        if raw not in valid and raw not in BeforeImageMode.__members__:
             raise ConfigError(
                 "before_image_mode",
                 f"valid values are {valid}, but got {bim!r}",
@@ -156,7 +169,13 @@ def validate_config(cfg: dict) -> dict:
             f"valid values are {list(INTERVAL_MODES)}, but got {iv!r}",
         )
 
-    n_hashes, bands = cfg.get("n_hashes"), cfg.get("bands")
+    def _int(field):
+        v = cfg.get(field)
+        if v is not None and (not isinstance(v, int) or isinstance(v, bool)):
+            raise ConfigError(field, f"must be a positive integer, got {v!r}")
+        return v
+
+    n_hashes, bands = _int("n_hashes"), _int("bands")
     if n_hashes is not None and n_hashes < 1:
         raise ConfigError("n_hashes", "must be a positive integer")
     if bands is not None and bands < 1:
@@ -170,7 +189,9 @@ def validate_config(cfg: dict) -> dict:
 
     for field, lo in (("salt", 1), ("n_buckets", 1), ("events_per_batch", 1)):
         v = cfg.get(field)
-        if v is not None and (not isinstance(v, int) or v < lo):
+        if v is not None and (
+            not isinstance(v, int) or isinstance(v, bool) or v < lo
+        ):
             raise ConfigError(field, f"must be an integer >= {lo}")
 
     if inc_re is not None and exc_re is not None:

@@ -61,6 +61,29 @@ _OFF_FIELDS = ("term", "index", "write_id")
 _META_COLS = ("_last_term", "_last_index", "_last_write_id", "content_sha256", "_deleted")
 
 
+def _packed_offset(term, index, write_id):
+    """Order-preserving single-long encoding of (term, index, write_id):
+    14/38/11-bit fields with a +2 bias (covers the snapshot term -1 and the
+    -2 sentinel). An out-of-budget field would silently carry into its
+    neighbor and scramble offset ordering — worth 6 long comparisons per
+    row to fail loudly instead (the budget is generous: term < 16,382,
+    index < 2^38-2 ≈ 2.7e11, write_id < 2,046 even after the PK-split
+    doubling)."""
+    t, i, w = term + 2, index + 2, write_id + 2
+    bad = (
+        (t < 0) | (t >= (1 << 14))
+        | (i < 0) | (i >= (1 << 38))
+        | (w < 0) | (w >= (1 << 11))
+    )
+    packed = (F.shiftleft(t, 49) + F.shiftleft(i, 11) + w).cast("long")
+    err = F.concat(
+        F.lit("offset outside the packed 14/38/11-bit budget: term="),
+        term.cast("string"), F.lit(" index="), index.cast("string"),
+        F.lit(" write_id="), write_id.cast("string"),
+    )
+    return F.when(bad, F.raise_error(err).cast("long")).otherwise(packed)
+
+
 def bucket_expr(n_buckets: int, key_cols=KEY_COLS):
     return F.pmod(F.xxhash64(*key_cols), F.lit(n_buckets))
 
@@ -76,6 +99,9 @@ class MergeStats:
 
 class LakeTable:
     def __init__(self, spark: SparkSession, path: str, n_buckets: int = 16, key_cols=KEY_COLS):
+        from .config import validate_config  # fail fast on a bad bucket count
+
+        validate_config({"n_buckets": n_buckets})
         self.spark = spark
         self.path = path.rstrip("/")
         self.n_buckets = n_buckets
@@ -407,11 +433,7 @@ class LakeTable:
         # value equivalence test: test_merge_events_packed_offset_boundary
         # _values). This narrows both the shuffle row and every
         # max(struct) sort buffer from 3 longs to 1.
-        pack = (
-            F.shiftleft(F.col("term") + 2, 49)
-            + F.shiftleft(F.col("index") + 2, 11)
-            + (F.col("write_id") + 2)
-        ).cast("long")
+        pack = _packed_offset(F.col("term"), F.col("index"), F.col("write_id"))
         # 8-byte key hash leads the grouping columns: the complete-mode fold
         # is a SortAggregate over (bucket, salt, key...), and putting _kh
         # before the (repo, path) strings lets every sort comparison
@@ -437,11 +459,9 @@ class LakeTable:
         # tombstone target rows re-enter the fold as DELETE events at their
         # stored offset — a late lower-offset upsert then loses the max()
         t_dead = F.coalesce(F.col("_deleted"), F.lit(False))
-        t_pack = (
-            F.shiftleft(F.col("_last_term") + 2, 49)
-            + F.shiftleft(F.col("_last_index") + 2, 11)
-            + (F.col("_last_write_id") + 2)
-        ).cast("long")
+        t_pack = _packed_offset(
+            F.col("_last_term"), F.col("_last_index"), F.col("_last_write_id")
+        )
         tev = t.select(
             *key,
             bkt.alias("bucket"),

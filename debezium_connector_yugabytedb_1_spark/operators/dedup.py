@@ -227,8 +227,7 @@ def minhash_lsh_pairs(
     if n_hashes % bands != 0:
         raise ValueError(
             f"n_hashes ({n_hashes}) must be divisible by bands ({bands}); "
-            "a non-integer rows-per-band would silently floor-divide "
-            "(config.validate_config catches this at the front door)"
+            "a non-integer rows-per-band would silently floor-divide"
         )
     rows = n_hashes // bands
     per_doc = _hashed_shingle_sets(docs, text_col, k)
@@ -425,7 +424,7 @@ def resolve_groups(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    iters = 0
+    iters, converged = 0, False
     for iters in range(1, max_iters + 1):
         nbr_min = (
             edges.join(
@@ -458,6 +457,14 @@ def resolve_groups(
         labels = new_labels
         if converged:
             break
+    if not converged:
+        # returning unconverged labels would split real components into
+        # several groups with several "survivors" — fail loudly instead
+        raise RuntimeError(
+            f"resolve_groups did not reach a fixpoint in {max_iters} "
+            "iterations; raise max_iters (rounds needed grow with "
+            "log(component diameter))"
+        )
     log.info("resolve_groups: fixpoint after %d iteration(s)", iters)
     return labels.select(
         F.col("node").alias("doc_id"),
@@ -502,6 +509,7 @@ class MinHashIndex:
         bands: int = 8,
         threshold: float = 0.5,
     ):
+        import json
         import os
 
         if n_hashes % bands != 0:
@@ -516,17 +524,63 @@ class MinHashIndex:
         os.makedirs(path, exist_ok=True)
         self._buckets = os.path.join(path, "buckets")
         self._sets = os.path.join(path, "sets")
+        # the index geometry is baked into the stored postings/sets:
+        # reopening with different (k, n_hashes, bands) would join
+        # incomparable hash families with no error — persist on first open,
+        # verify on every later one (threshold only filters output rows and
+        # may vary freely)
+        geo = {"k": k, "n_hashes": n_hashes, "bands": bands}
+        pfile = os.path.join(path, "params.json")
+        if os.path.exists(pfile):
+            with open(pfile) as f:
+                stored = json.load(f)
+            if stored != geo:
+                raise ValueError(
+                    f"index at {path} was built with {stored}, reopened "
+                    f"with {geo}; geometry is immutable per index"
+                )
+        else:
+            tmp = pfile + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(geo, f)
+            os.replace(tmp, pfile)
 
-    def _read(self, p: str) -> DataFrame | None:
+    # -- batch commit protocol: each add() writes its postings and sets to
+    # batch=<n> subdirectories, then atomically commits <n> to
+    # manifest.json (os.replace). Readers see only committed batches, so a
+    # crash between the two writes leaves orphan dirs that the retried
+    # add() simply overwrites — never a postings/sets mismatch.
+    def _manifest(self) -> list[int]:
+        import json
         import os
 
-        if not os.path.isdir(p) or not any(
-            f.endswith(".parquet") for f in os.listdir(p)
-        ):
+        p = os.path.join(self.path, "manifest.json")
+        if not os.path.exists(p):
+            return []
+        with open(p) as f:
+            return json.load(f)["batches"]
+
+    def _commit_batch(self, n: int) -> None:
+        import json
+        import os
+
+        p = os.path.join(self.path, "manifest.json")
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batches": self._manifest() + [n]}, f)
+        os.replace(tmp, p)
+
+    def _read(self, root: str) -> DataFrame | None:
+        import os
+
+        dirs = [os.path.join(root, f"batch={n}") for n in self._manifest()]
+        if not dirs:
             return None
-        return self.spark.read.parquet(p)
+        return self.spark.read.parquet(*dirs)
 
     def add(self, docs: DataFrame) -> DataFrame:
+        import os
+
         per_doc = _hashed_shingle_sets(docs, self.text_col, self.k)
         banded = _banded_buckets(per_doc, self.n_hashes, self.bands).localCheckpoint()
         stored_b = self._read(self._buckets)
@@ -574,6 +628,12 @@ class MinHashIndex:
             )
             .localCheckpoint()  # materialize BEFORE the index mutates below
         )
-        banded.write.mode("append").parquet(self._buckets)
-        per_doc.write.mode("append").parquet(self._sets)
+        n = len(self._manifest())  # a retried failed add() reuses its slot
+        banded.write.mode("overwrite").parquet(
+            os.path.join(self._buckets, f"batch={n}")
+        )
+        per_doc.write.mode("overwrite").parquet(
+            os.path.join(self._sets, f"batch={n}")
+        )
+        self._commit_batch(n)  # both halves durable -> atomically visible
         return pairs

@@ -130,18 +130,26 @@ class ConsistentGate:
         return df
 
     def _write_segment(self, df: DataFrame, name: str, st: dict) -> None:
-        """Write ``df`` as a segment (only if nonempty) and record its row
-        count + commit-time extent (in the UNSIGNED-order ht_key domain) —
-        O(#segments) driver state used for whole-segment drops and the
-        compaction heuristic."""
-        stats = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min(ht_key("commit_time")).alias("lo"),
-            F.max(ht_key("commit_time")).alias("hi"),
-        ).collect()[0]
-        if stats["n"] == 0:
+        """Write ``df`` as a segment and record its row count + commit-time
+        extent (in the UNSIGNED-order ht_key domain) — O(#segments) driver
+        state used for whole-segment drops and the compaction heuristic.
+        The input plan is evaluated ONCE (the write); the stats come from a
+        cheap single-column scan of the just-written files."""
+        full = os.path.join(self.path, name)
+        df.write.mode("overwrite").parquet(full)
+        stats = (
+            self.spark.read.schema(df.schema)
+            .parquet(full)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min(ht_key("commit_time")).alias("lo"),
+                F.max(ht_key("commit_time")).alias("hi"),
+            )
+            .collect()[0]
+        )
+        if stats["n"] == 0:  # nothing held this trigger — drop the husk
+            shutil.rmtree(full, ignore_errors=True)
             return
-        df.write.mode("overwrite").parquet(os.path.join(self.path, name))
         st["segments"].append(
             {
                 "name": name,
@@ -245,15 +253,29 @@ class ConsistentGate:
         new_rows = batch.where(~F.col("op").isin(*NON_DISPATCHED_OPS))
         carried = self._seg_df(st, exclude={f"seg_b{bid}"})
         gate = self.stream_safetime(st)
-        if gate is None:
+        # the effective release threshold for NEW rows is the max of the
+        # current gate and the already-released watermark: a row arriving
+        # AT OR BELOW released_upto (a late tablet in seen-tablets mode can
+        # drag the gate, or close it entirely, below rows already released)
+        # is past its release condition and must go out NOW — the reference
+        # Merger's peek releases any record with commit_time <= safetime on
+        # arrival. Holding it would be fatal: segment liveness is the
+        # scalar released_upto, so a held row at/below it would be filtered
+        # as already-released and silently dropped.
+        eff_keys = [k for k in (
+            ht_key_py(gate) if gate is not None else None, st["released_upto"]
+        ) if k is not None]
+        if not eff_keys:
             released = new_rows.where(F.lit(False))
             held_new = new_rows
         else:
-            gk = F.lit(ht_key_py(gate))
+            gk = F.lit(max(eff_keys))
             released = new_rows.where(ht_key("commit_time") <= gk)
-            if carried is not None:
+            if carried is not None and gate is not None:
+                # carried rows live strictly above released_upto, so the
+                # plain gate decides them (no late-release case there)
                 released = released.unionByName(
-                    carried.where(ht_key("commit_time") <= gk),
+                    carried.where(ht_key("commit_time") <= F.lit(ht_key_py(gate))),
                     allowMissingColumns=True,
                 )
             held_new = new_rows.where(ht_key("commit_time") > gk)

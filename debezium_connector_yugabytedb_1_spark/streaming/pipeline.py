@@ -75,6 +75,25 @@ class CdcPipeline:
         message_prefix_exclude: str | None = None,
         auto_add_tables: bool = False,
     ):
+        from ..config import validate_config
+
+        # fail-fast front door (reference: config validated before any work
+        # starts — YugabyteDBConnectorConfig.validate:1428): bad regexes,
+        # op codes, or batch sizes error HERE, not mid-stream
+        validate_config(
+            {
+                k: v
+                for k, v in {
+                    "table_include": table_include,
+                    "table_exclude": table_exclude,
+                    "skipped_operations": skipped_ops,
+                    "message_prefix_include": message_prefix_include,
+                    "message_prefix_exclude": message_prefix_exclude,
+                    "events_per_batch": events_per_batch,
+                }.items()
+                if v not in (None, ())
+            }
+        )
         self.spark = spark
         self.events_path = events_path
         self.table = table

@@ -227,3 +227,34 @@ def test_gate_sweep_drops_released_segments_and_compacts(spark, tmp_path):
     assert sorted(r["commit_time"] for r in gate.flush().collect()) == list(
         range(18, 31)
     )
+
+
+def test_gate_late_row_below_watermark_released_not_lost(spark, tmp_path):
+    """Seen-tablets mode (tablets=None): after the gate has released up to
+    watermark W, a newly-discovered tablet delivering rows at commit_time
+    <= W (while closing the gate) must have them RELEASED immediately —
+    the reference Merger's peek releases any record already below the
+    safetime — never held into the segment store where the scalar
+    released_upto liveness filter would silently drop them."""
+    schema = "tablet_id string, op string, commit_time long, k string"
+
+    def mk(rows):
+        return spark.createDataFrame(rows, schema)
+
+    gate = ConsistentGate(spark, str(tmp_path / "g_late"))  # tablets unknown
+    rel1 = gate.process(
+        mk([("a", "c", 50, "k50"), ("a", "SAFEPOINT", 100, None)]), 0
+    )
+    assert [r["commit_time"] for r in rel1.collect()] == [50]
+    # tablet b appears with rows at 80 and 120; its safetime is unknown, so
+    # the gate is fully closed — but 80 is already below the watermark 100
+    rel2 = gate.process(mk([("b", "c", 80, "k80"), ("b", "c", 120, "k120")]), 1)
+    assert sorted(r["commit_time"] for r in rel2.collect()) == [80]
+    # 120 is genuinely pending; nothing was lost
+    assert sorted(r["commit_time"] for r in gate.flush().collect()) == [120]
+    # when b's safetime arrives the pending row releases normally
+    rel3 = gate.process(
+        mk([("a", "SAFEPOINT", 130, None), ("b", "SAFEPOINT", 125, None)]), 2
+    )
+    assert [r["commit_time"] for r in rel3.collect()] == [120]
+    assert gate.flush() is None

@@ -161,3 +161,41 @@ def test_minhash_index_incremental_equals_batch(spark, tmp_path):
         got |= new
     assert got == want
     assert len(want) >= 30  # the corpus genuinely seeds near-dup pairs
+
+
+def test_minhash_index_geometry_pinned_and_crash_safe(spark, tmp_path):
+    """Reopening with a different hash geometry must fail fast (stored
+    postings would silently join an incomparable hash family), and a
+    crashed add() — batch dirs written but not manifest-committed — is
+    invisible to readers and safely overwritten by the retry."""
+    import os
+
+    from debezium_connector_yugabytedb_1_spark.operators.dedup import MinHashIndex
+
+    docs = _seeded_docs(spark, n_base=12)
+    want = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(docs, k=3, threshold=0.5, max_df=None).collect()
+    }
+    path = str(tmp_path / "idx")
+    idx = MinHashIndex(spark, path, k=3)
+    c0 = docs.where(F.col("doc_id") % 2 == 0)
+    c1 = docs.where(F.col("doc_id") % 2 == 1)
+    got = {(r["doc_a"], r["doc_b"]) for r in idx.add(c0).collect()}
+    with pytest.raises(ValueError, match="geometry is immutable"):
+        MinHashIndex(spark, path, k=4)
+    # simulate a crashed add(): batch dir exists, manifest never updated
+    from debezium_connector_yugabytedb_1_spark.operators.dedup import (
+        _banded_buckets,
+        _hashed_shingle_sets,
+    )
+
+    orphan_sets = _hashed_shingle_sets(c1, "text", 3)
+    _banded_buckets(orphan_sets, 32, 8).write.mode("overwrite").parquet(
+        os.path.join(path, "buckets", "batch=1")
+    )  # sets half never written, manifest never committed
+    assert idx._manifest() == [0]
+    # the retry overwrites the orphan slot and commits both halves
+    got |= {(r["doc_a"], r["doc_b"]) for r in idx.add(c1).collect()}
+    assert got == want
+    assert idx._manifest() == [0, 1]

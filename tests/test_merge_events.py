@@ -238,3 +238,15 @@ def test_merge_events_packed_offset_boundary_values(spark, tmp_path):
     assert terms <= {16370 + k for k in range(3)} | {-1}
     assert all(r[6] >= hi_index for r in snap_f)
     assert all(960 <= r[7] <= 2044 for r in snap_f)
+
+
+def test_merge_events_rejects_out_of_budget_offsets(spark, tmp_path):
+    """An offset outside the packed 14/38/11-bit field budget must fail
+    loudly — silent carry into the neighboring field would reorder offsets."""
+    ev = generate_events(spark, 200).withColumn(
+        "write_id", F.col("write_id") + 4000  # > 2^11-2
+    )
+    t = LakeTable(spark, str(tmp_path / "lake"), n_buckets=2)
+    t.init(COLS)
+    with pytest.raises(Exception, match="packed 14/38/11-bit budget"):
+        t.merge_events(_dml(ev), "b0")
