@@ -40,7 +40,9 @@ TRUNCATE_MODES = ("skip", "include")
 HSTORE_MODES = ("map", "json")
 INTERVAL_MODES = ("numeric", "string")
 
-_SLOT_RE = re.compile(r"[a-z0-9_]{1,63}$")
+# \Z (not $) so a trailing newline is rejected, matching the reference's
+# full-string String.matches("[a-z0-9_]{1,63}")
+_SLOT_RE = re.compile(r"\A[a-z0-9_]{1,63}\Z")
 
 
 class ConfigError(ValueError):

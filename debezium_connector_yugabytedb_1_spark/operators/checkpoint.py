@@ -97,9 +97,16 @@ class CheckpointStore:
     DataFrame is the committed map; ``meta['next_lo']`` is the poll cursor.
     """
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, keep_history: int = 20):
+        """``keep_history``: number of committed versions retained on disk.
+        Each commit writes a new ``v<N>`` dir + meta file; a long-running
+        stream commits once per trigger, so without retention the store
+        grows O(#triggers) forever. Only ``_CURRENT`` is ever read back —
+        history exists purely for debugging — so trimming is safe at any
+        depth ≥ 1."""
         self.spark = spark
         self.path = path.rstrip("/")
+        self.keep_history = max(1, int(keep_history))
         os.makedirs(self.path, exist_ok=True)
         # in-memory copy of the committed offsets (tiny: one row per tablet)
         # so per-batch load() costs no file read; rebuilt from parquet on a
@@ -120,6 +127,28 @@ class CheckpointStore:
         with open(tmp, "w") as f:
             f.write(str(version))
         os.replace(tmp, os.path.join(self.path, "_CURRENT"))
+        self._trim(version)
+
+    def _trim(self, cur: int) -> None:
+        """Delete versions below cur - keep_history + 1 (after the pointer
+        swap, so a crash mid-trim only leaves extra files for next time)."""
+        import shutil
+
+        floor = cur - self.keep_history + 1
+        if floor <= 0:
+            return
+        for entry in os.listdir(self.path):
+            v = None
+            if entry.startswith("v") and entry[1:].isdigit():
+                v = int(entry[1:])
+            elif entry.startswith("meta-v") and entry.endswith(".json"):
+                v = int(entry[6:-5])
+            if v is not None and v < floor:
+                p = os.path.join(self.path, entry)
+                if os.path.isdir(p):
+                    shutil.rmtree(p, ignore_errors=True)
+                else:
+                    os.remove(p)
 
     def load(self) -> DataFrame | None:
         rows = self.load_rows()

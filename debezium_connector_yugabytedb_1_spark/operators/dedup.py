@@ -26,11 +26,17 @@ from ..functions import word_shingles
 
 
 
-def _spread(df: DataFrame, min_bytes: int = 256 << 10) -> DataFrame:
+def _spread(df: DataFrame, min_bytes: int = 256 << 10, cols=None) -> DataFrame:
     """Large single-file inputs arrive as one partition; shingling/hashing
     is CPU-bound, so spread them across the cluster before exploding (the
     shuffle of the raw docs is trivial next to the expansion). Tiny inputs
-    are left alone — 32-way task scheduling costs more than the work."""
+    are left alone — 32-way task scheduling costs more than the work.
+
+    With ``cols``, spread by HASH of those columns instead of round-robin:
+    downstream ``groupBy`` on (a superset of) ``cols`` is then satisfied by
+    this partitioning (``HashPartitioning ⊆ ClusteredDistribution``), so the
+    aggregations run complete-mode in the SAME stage — the one doc shuffle
+    replaces the (larger) exploded-token/shingle shuffle entirely."""
     import os
 
     try:
@@ -39,6 +45,10 @@ def _spread(df: DataFrame, min_bytes: int = 256 << 10) -> DataFrame:
     except Exception:
         return df
     target = df.sparkSession.sparkContext.defaultParallelism
+    if cols:
+        if files and total > min_bytes:
+            return df.repartition(target, *cols)
+        return df
     if files and total > min_bytes and len(files) < target:
         return df.repartition(target)
     return df
@@ -148,6 +158,45 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------- minhash
+def _doc_sets_sigs(docs: DataFrame, text_col: str, k: int, n_hashes: int) -> DataFrame:
+    """(doc_id, sh, h0..h{n-1}) — per-doc hashed shingle set AND the full
+    minhash signature from ONE aggregation over the exploded occurrences.
+
+    sig[i] = min(xxhash64(shingle_hash, i)) over occurrences equals the min
+    over the distinct set (duplicates can't change a min), so the sets and
+    all n signatures share one pass: each occurrence row updates n fixed
+    -width long buffers plus the collect_set — no per-seed
+    ``transform(sh, ...)`` array materialization (the previous shape
+    allocated n transformed copies of every shingle array per doc). Docs
+    are pre-spread by hash(doc_id), so when the input is file-backed both
+    this groupBy and any later per-doc groupBy run complete-mode in the
+    same stage — the only shuffle is the raw docs. localCheckpointed:
+    per-doc-bounded state, read by the bucket projection AND the verify."""
+    sh_occ = _spread(docs, cols=("doc_id",)).select(
+        "doc_id",
+        F.explode(
+            F.transform(word_shingles(text_col, k), lambda s: F.xxhash64(s))
+        ).alias("s"),
+    )
+    aggs = [F.collect_set("s").alias("sh")] + [
+        F.min(F.xxhash64("s", F.lit(i))).alias(f"h{i}") for i in range(n_hashes)
+    ]
+    return sh_occ.groupBy("doc_id").agg(*aggs).localCheckpoint()
+
+
+def _buckets_from_sigs(per_doc: DataFrame, n_hashes: int, bands: int) -> DataFrame:
+    """(doc_id, band, bucket) rows: the h0..h{n-1} signature columns banded
+    into ``bands`` xxhash64 buckets — a pure projection, no shuffle."""
+    rows = n_hashes // bands
+    band_buckets = F.array(
+        *[
+            F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)])
+            for b in range(bands)
+        ]
+    )
+    return per_doc.select("doc_id", F.posexplode(band_buckets).alias("band", "bucket"))
+
+
 def _hashed_shingle_sets(docs: DataFrame, text_col: str, k: int) -> DataFrame:
     """Per-doc distinct shingle sets, hashed to 64-bit longs at the scan:
     the collected sets, the signature transforms, and the verify's
@@ -215,13 +264,12 @@ def minhash_lsh_pairs(
     With r = n_hashes/bands rows per band, the S-curve crossover sits at
     (1/bands)^(1/r); defaults target J >= 0.5.
 
-    Plan shape: ONE shingle pass over the text. A single
-    ``groupBy(doc_id).collect_set(shingle)`` materializes per-doc shingle
-    sets (localCheckpoint — per-doc-bounded state, the only expensive scan);
-    signatures are then a pure projection over each set
-    (``array_min(transform(sh, s -> xxhash64(s, seed)))`` — no second
-    shuffle, and min over the distinct set equals min over occurrences), and
-    the verify sets read the same materialized rows. With ``max_df`` the
+    Plan shape: ONE shingle pass over the text. A single aggregation
+    (``_doc_sets_sigs``) materializes per-doc shingle sets AND all
+    ``n_hashes`` signature minima together (localCheckpoint —
+    per-doc-bounded state, the only expensive scan); band buckets are then
+    a pure projection over the signature columns, and the verify sets read
+    the same materialized rows. With ``max_df`` the
     df-cap is applied by exploding the cached sets (cheap — no re-shingling
     of text) and anti-joining the broadcast hot-shingle list."""
     if n_hashes % bands != 0:
@@ -229,9 +277,8 @@ def minhash_lsh_pairs(
             f"n_hashes ({n_hashes}) must be divisible by bands ({bands}); "
             "a non-integer rows-per-band would silently floor-divide"
         )
-    rows = n_hashes // bands
-    per_doc = _hashed_shingle_sets(docs, text_col, k)
-    banded = _banded_buckets(per_doc, n_hashes, bands)
+    per_doc = _doc_sets_sigs(docs, text_col, k, n_hashes)
+    banded = _buckets_from_sigs(per_doc, n_hashes, bands)
     a = banded.alias("a")
     b_ = banded.alias("b")
     cand = (
@@ -252,7 +299,7 @@ def minhash_lsh_pairs(
     # cap as ``ngram_jaccard_pairs`` keeps the shingle space identical, so
     # LSH pairs are a strict subset of the exact pairs at equal thresholds.
     if max_df is None:
-        sets = per_doc
+        sets = per_doc.select("doc_id", "sh")
     else:
         occ = per_doc.select("doc_id", F.explode("sh").alias("shingle"))
         hot = (
@@ -265,7 +312,7 @@ def minhash_lsh_pairs(
         # ARE the capped sets, so skip the explode→anti-join→re-collect
         # pass entirely. Emptiness probe only — no rows pulled to the driver.
         if hot.isEmpty():
-            sets = per_doc
+            sets = per_doc.select("doc_id", "sh")
         else:
             sets = (
                 occ.join(F.broadcast(hot), "shingle", "left_anti")
@@ -302,7 +349,7 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     from functools import reduce
 
     toks = (
-        _spread(docs)
+        _spread(docs, cols=("doc_id",))
         .select(
             "doc_id",
             F.explode(
@@ -318,27 +365,36 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     # expressions evaluate once per DISTINCT token, not once per occurrence
     # (natural text repeats tokens heavily); votes weighted by the count are
     # bit-for-bit identical to per-occurrence voting. Grouping by the
-    # 64-bit HASH rather than the token string shuffles 8-byte longs
-    # instead of strings (the votes only ever read the hash, so colliding
-    # tokens merging their counts yields identical vote sums). Both
-    # aggregations are fixed-width hash aggs with map-side combine.
+    # 64-bit HASH rather than the token string keeps the rows at 8-byte
+    # longs (the votes only ever read the hash, so colliding tokens merging
+    # their counts yields identical vote sums). Because the docs were
+    # spread by hash(doc_id), BOTH groupBys are satisfied by the input
+    # partitioning — file-backed corpora run the whole signature in one
+    # stage with zero token-level shuffle.
     tok_counts = toks.groupBy(
         "doc_id", F.xxhash64("tok").alias("th")
     ).agg(F.count(F.lit(1)).alias("cnt"))
     h = F.col("th")
     cnt = F.col("cnt")
+    # branchless voting: vote_j = sum(cnt·(2·bit_j − 1)) = 2·S_j − T with
+    # S_j = sum(cnt·bit_j), T = sum(cnt) — 64 mul-add aggregates plus one
+    # total instead of 64 conditional branches per distinct-token row;
+    # sign(vote_j) > 0 ⟺ 2·S_j > T exactly (integer arithmetic).
     votes = tok_counts.groupBy("doc_id").agg(
+        F.sum(cnt).alias("tot"),
         *[
-            F.sum(
-                F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, cnt).otherwise(-cnt)
-            ).alias(f"b{j}")
+            F.sum(F.shiftright(h, j).bitwiseAND(F.lit(1)).cast("long") * cnt).alias(
+                f"s{j}"
+            )
             for j in range(64)
-        ]
+        ],
     )
     one = F.lit(1).cast("long")
     sig = reduce(
         lambda acc, j: acc.bitwiseOR(
-            F.when(F.col(f"b{j}") > 0, F.shiftleft(one, j)).otherwise(F.lit(0).cast("long"))
+            F.when(F.col(f"s{j}") * 2 > F.col("tot"), F.shiftleft(one, j)).otherwise(
+                F.lit(0).cast("long")
+            )
         ),
         range(64),
         F.lit(0).cast("long"),
@@ -482,21 +538,36 @@ class MinHashIndex:
 
     A real training-data pipeline ingests continuously; re-running batch
     dedup over 100 TB per increment is O(corpus) per batch, while this is
-    O(batch) + one (band, bucket) equi-join against the stored postings:
+    O(batch) + partition-PRUNED joins against the store — bytes read per
+    add() are proportional to the buckets the new batch actually touches,
+    never to the corpus:
 
-    - ``<path>/buckets``: (doc_id, band, bucket) — the LSH postings. At
-      cluster scale, write this bucketed/partitioned by
-      ``pmod(hash(band, bucket), N)`` so the candidate join is co-located
-      and shuffle-free; the sandbox keeps a plain parquet append.
-    - ``<path>/sets``: (doc_id, sh: array<long>) — hashed shingle sets for
-      the exact-Jaccard verify, per-doc-bounded rows.
+    - ``<path>/buckets/batch=<n>/pkey=<v>``: (doc_id, band, bucket) LSH
+      postings, hash-partitioned by ``pkey = pmod(xxhash64(band, bucket),
+      n_posting_parts)``. The candidate join reads ONLY the pkey
+      partitions present in the new batch.
+    - ``<path>/sets/batch=<n>/skey=<v>``: (doc_id, sh: array<long>) hashed
+      shingle sets for the exact-Jaccard verify, hash-partitioned by
+      ``skey = pmod(xxhash64(doc_id), n_set_parts)``. The verify reads
+      ONLY the skey partitions of the candidate doc ids (and within them
+      prunes to candidate rows via a semi-join that AQE broadcasts when
+      the candidate set is small); the re-add guard reads just the tiny
+      doc_id column of the new batch's skey partitions.
+
+    Partition dirs accumulate per batch (O(#batches × parts) directories);
+    ``compact()`` rewrites the store into ONE batch so listing and
+    per-partition file counts stay flat on long-running ingest. Per-add
+    scan stats land in ``last_add_stats`` (partitions read vs total) — the
+    boundedness is tested, not claimed.
 
     ``add`` returns verified pairs among (new × stored) ∪ (new × new) at
     the configured threshold — exactly the pairs batch
     ``minhash_lsh_pairs`` (max_df=None) would emit over the union corpus
-    that involve at least one new doc (equivalence-tested). Each doc_id
-    must be added once; the df-cap variant is batch-only because document
-    frequencies are corpus-global.
+    that involve at least one new doc (equivalence-tested). Re-adding an
+    already-indexed doc_id raises (silently duplicated postings/sets rows
+    would produce duplicate and inflated verify pairs on later adds); the
+    df-cap variant is batch-only because document frequencies are
+    corpus-global.
     """
 
     def __init__(
@@ -508,6 +579,8 @@ class MinHashIndex:
         n_hashes: int = 32,
         bands: int = 8,
         threshold: float = 0.5,
+        n_posting_parts: int = 64,
+        n_set_parts: int = 64,
     ):
         import json
         import os
@@ -521,15 +594,25 @@ class MinHashIndex:
         self.text_col = text_col
         self.k, self.n_hashes, self.bands = k, n_hashes, bands
         self.threshold = threshold
+        self.n_posting_parts = n_posting_parts
+        self.n_set_parts = n_set_parts
+        self.last_add_stats: dict = {}
         os.makedirs(path, exist_ok=True)
         self._buckets = os.path.join(path, "buckets")
         self._sets = os.path.join(path, "sets")
         # the index geometry is baked into the stored postings/sets:
         # reopening with different (k, n_hashes, bands) would join
-        # incomparable hash families with no error — persist on first open,
-        # verify on every later one (threshold only filters output rows and
-        # may vary freely)
-        geo = {"k": k, "n_hashes": n_hashes, "bands": bands}
+        # incomparable hash families, and different partition counts would
+        # prune the wrong directories, with no error — persist on first
+        # open, verify on every later one (threshold only filters output
+        # rows and may vary freely)
+        geo = {
+            "k": k,
+            "n_hashes": n_hashes,
+            "bands": bands,
+            "n_posting_parts": n_posting_parts,
+            "n_set_parts": n_set_parts,
+        }
         pfile = os.path.join(path, "params.json")
         if os.path.exists(pfile):
             with open(pfile) as f:
@@ -560,38 +643,90 @@ class MinHashIndex:
         with open(p) as f:
             return json.load(f)["batches"]
 
-    def _commit_batch(self, n: int) -> None:
+    def _commit_manifest(self, batches: list[int]) -> None:
         import json
         import os
 
         p = os.path.join(self.path, "manifest.json")
         tmp = p + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"batches": self._manifest() + [n]}, f)
+            json.dump({"batches": batches}, f)
         os.replace(tmp, p)
 
-    def _read(self, root: str) -> DataFrame | None:
+    def _pkey(self):
+        return F.pmod(F.xxhash64("band", "bucket"), F.lit(self.n_posting_parts)).cast(
+            "int"
+        )
+
+    def _skey(self, col: str = "doc_id"):
+        return F.pmod(F.xxhash64(col), F.lit(self.n_set_parts)).cast("int")
+
+    def _pruned_read(
+        self, root: str, key: str, wanted: set[int]
+    ) -> tuple[DataFrame | None, int, int]:
+        """Read ONLY the ``key=<v>`` partition dirs of committed batches
+        whose v is in ``wanted``. Returns (df|None, dirs_read, dirs_total).
+
+        The driver-side listing is one directory list per committed batch —
+        O(#batches) metadata calls, bytes read ∝ matching partitions only
+        (this IS the pruning; no planner cooperation required). At cluster
+        scale the same listing goes through the object-store FS client, and
+        ``compact()`` keeps #batches small."""
         import os
 
-        dirs = [os.path.join(root, f"batch={n}") for n in self._manifest()]
-        if not dirs:
-            return None
-        return self.spark.read.parquet(*dirs)
+        sel, total = [], 0
+        for n in self._manifest():
+            bdir = os.path.join(root, f"batch={n}")
+            if not os.path.isdir(bdir):
+                continue
+            for entry in os.listdir(bdir):
+                if not entry.startswith(f"{key}="):
+                    continue
+                total += 1
+                if int(entry.split("=", 1)[1]) in wanted:
+                    sel.append(os.path.join(bdir, entry))
+        if not sel:
+            return None, 0, total
+        df = self.spark.read.option("basePath", root).parquet(*sel)
+        return df, len(sel), total
 
     def add(self, docs: DataFrame) -> DataFrame:
         import os
 
-        per_doc = _hashed_shingle_sets(docs, self.text_col, self.k)
-        banded = _banded_buckets(per_doc, self.n_hashes, self.bands).localCheckpoint()
-        stored_b = self._read(self._buckets)
-        stored_s = self._read(self._sets)
-        new_a = banded.select(
-            F.col("doc_id").alias("doc_a"), "band", "bucket"
+        per_doc = _doc_sets_sigs(docs, self.text_col, self.k, self.n_hashes)
+        banded = (
+            _buckets_from_sigs(per_doc, self.n_hashes, self.bands)
+            .withColumn("pkey", self._pkey())
+            .localCheckpoint()
         )
-        # new × new (a < b) plus stored × new — candidates carry at least
-        # one new doc; stored-internal pairs were emitted by earlier adds
+        # ---- re-add guard: scan only the doc_id column of the skey
+        # partitions that could hold the incoming ids (ADVICE r4: a silent
+        # re-add would duplicate postings/sets and inflate later verifies)
+        new_ids = per_doc.select("doc_id", self._skey().alias("skey")).localCheckpoint()
+        guard_keys = {r[0] for r in new_ids.select("skey").distinct().collect()}
+        stored_ids, g_read, g_total = self._pruned_read(self._sets, "skey", guard_keys)
+        if stored_ids is not None:
+            dup = stored_ids.select("doc_id").join(
+                new_ids.select("doc_id"), "doc_id", "left_semi"
+            )
+            if not dup.isEmpty():
+                some = [r[0] for r in dup.limit(5).collect()]
+                raise ValueError(
+                    f"doc_ids already indexed (each doc_id must be added "
+                    f"exactly once): {some}"
+                )
+        # ---- candidates: new × new (a < b) plus stored × new — stored
+        # postings pruned to the pkey partitions present in the NEW batch
+        # (a candidate must share (band, bucket) with a new doc, so the
+        # pruning is lossless); stored-internal pairs were emitted by
+        # earlier adds
+        new_pkeys = {r[0] for r in banded.select("pkey").distinct().collect()}
+        stored_b, p_read, p_total = self._pruned_read(
+            self._buckets, "pkey", new_pkeys
+        )
         cand = (
-            new_a.join(
+            banded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+            .join(
                 banded.select(F.col("doc_id").alias("doc_b"), "band", "bucket"),
                 ["band", "bucket"],
             )
@@ -610,8 +745,32 @@ class MinHashIndex:
                 )
             )
             cand = cand.unionByName(vs_stored)
-        cand = cand.distinct()
-        sets = per_doc if stored_s is None else stored_s.unionByName(per_doc)
+        cand = cand.distinct().localCheckpoint()
+        # ---- verify: read ONLY the skey partitions of candidate doc ids,
+        # then semi-join to the candidate ids themselves (AQE broadcasts
+        # the id set when small) so the array_intersect join's build side
+        # is candidates-only, not partitions-full
+        cand_ids = (
+            cand.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+            .localCheckpoint()
+        )
+        verify_keys = {
+            r[0] for r in cand_ids.select(self._skey().alias("k")).distinct().collect()
+        }
+        stored_s, s_read, s_total = self._pruned_read(self._sets, "skey", verify_keys)
+        sets = per_doc.select("doc_id", "sh")
+        if stored_s is not None:
+            sets = sets.unionByName(
+                stored_s.select("doc_id", "sh").join(cand_ids, "doc_id", "left_semi")
+            )
+        self.last_add_stats = {
+            "posting_partitions_read": p_read,
+            "posting_partitions_total": p_total,
+            "set_partitions_read": g_read + s_read,
+            "set_partitions_total": s_total,
+        }
         sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
         sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
         inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -628,12 +787,58 @@ class MinHashIndex:
             )
             .localCheckpoint()  # materialize BEFORE the index mutates below
         )
-        n = len(self._manifest())  # a retried failed add() reuses its slot
-        banded.write.mode("overwrite").parquet(
-            os.path.join(self._buckets, f"batch={n}")
+        # a retried failed add() (and a crashed compact()) reuses its slot:
+        # max+1 is stable until the manifest commits
+        n = max(self._manifest(), default=-1) + 1
+        (
+            banded.repartition("pkey")
+            .write.partitionBy("pkey")
+            .mode("overwrite")
+            .parquet(os.path.join(self._buckets, f"batch={n}"))
         )
-        per_doc.write.mode("overwrite").parquet(
-            os.path.join(self._sets, f"batch={n}")
+        (
+            per_doc.select("doc_id", "sh")
+            .withColumn("skey", self._skey())
+            .repartition("skey")
+            .write.partitionBy("skey")
+            .mode("overwrite")
+            .parquet(os.path.join(self._sets, f"batch={n}"))
         )
-        self._commit_batch(n)  # both halves durable -> atomically visible
+        self._commit_manifest(self._manifest() + [n])  # atomically visible
         return pairs
+
+    def compact(self) -> int:
+        """Rewrite every committed batch into ONE — partition-dir count
+        (and the per-add listing / file-open cost) drops from
+        O(#batches × parts) back to O(parts). Crash-safe like ``add``: the
+        consolidated batch becomes visible only at the manifest swap; old
+        dirs are deleted after, and a crash before the swap leaves an
+        orphan slot the next writer overwrites. Returns #batches merged."""
+        import os
+        import shutil
+
+        batches = self._manifest()
+        if len(batches) <= 1:
+            return 0
+        n = max(batches) + 1
+        for root in (self._buckets, self._sets):
+            dirs = [
+                os.path.join(root, f"batch={b}")
+                for b in batches
+                if os.path.isdir(os.path.join(root, f"batch={b}"))
+            ]
+            df = self.spark.read.option("basePath", root).parquet(*dirs)
+            key = "pkey" if root == self._buckets else "skey"
+            cols = ["doc_id", "band", "bucket"] if key == "pkey" else ["doc_id", "sh"]
+            (
+                df.select(*cols, key)
+                .repartition(key)
+                .write.partitionBy(key)
+                .mode("overwrite")
+                .parquet(os.path.join(root, f"batch={n}"))
+            )
+        self._commit_manifest([n])
+        for root in (self._buckets, self._sets):
+            for b in batches:
+                shutil.rmtree(os.path.join(root, f"batch={b}"), ignore_errors=True)
+        return len(batches)

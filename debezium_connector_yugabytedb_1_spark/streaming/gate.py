@@ -64,6 +64,10 @@ class ConsistentGate:
 
     #: compact the live remainder when estimated-dead/total exceeds this
     COMPACT_DEAD_FRACTION = 0.5
+    #: squash all live segments into one when more than this many remain
+    #: after the sweep (bounds segment-list growth under a cold tablet
+    #: that keeps the gate closed for hundreds of triggers)
+    MAX_LIVE_SEGMENTS = 64
 
     def __init__(
         self, spark: SparkSession, path: str, tablets: list[str] | None = None
@@ -72,7 +76,16 @@ class ConsistentGate:
         tablet discovery, S1). The reference's source knows this up front —
         a tablet whose stream has not arrived AT ALL must still constrain
         the gate (unknown safetime ⇒ nothing is safe). Without it the gate
-        falls back to the weaker tablets-seen-so-far set."""
+        falls back to the weaker tablets-seen-so-far set.
+
+        ``tablets=None`` trades consistency for availability: a row from a
+        tablet discovered only after the gate has already released up to
+        some threshold is released on arrival (never silently held or
+        dropped), even though that tablet's own safetime is still unknown —
+        i.e. the record may be emitted above its tablet's safetime. In
+        production, pass the discovered tablet assignment (S1) so the gate
+        is closed until every consumed tablet has reported; seen-tablets
+        mode is for ad-hoc replay where the assignment is unknowable."""
         self.spark = spark
         self.path = path
         self.tablets = list(tablets) if tablets is not None else None
@@ -161,27 +174,38 @@ class ConsistentGate:
 
     def _sweep_and_compact(self, st: dict, bid: str) -> None:
         """Drop fully-released segments; compact the rest when the
-        estimated dead fraction crosses COMPACT_DEAD_FRACTION. Retired
-        names are only physically deleted on the next NEW trigger id."""
+        estimated dead fraction crosses COMPACT_DEAD_FRACTION **or** the
+        live-segment count exceeds MAX_LIVE_SEGMENTS. Retired names are
+        only physically deleted on the next NEW trigger id.
+
+        The count trigger is the cold-tablet guard: with the gate closed
+        (``released_upto`` still None — e.g. one tablet never reports a
+        safetime) every trigger appends a segment and nothing is ever
+        released, so without it the segment list — and with it state.json,
+        the replay ``prev`` snapshot, and every ``_seg_df`` union plan —
+        grows O(#triggers) forever. Squashing all live segments into one
+        every MAX_LIVE_SEGMENTS triggers costs an O(backlog) rewrite
+        amortized to O(backlog / MAX_LIVE_SEGMENTS) per trigger and keeps
+        driver state O(1) in trigger count (still O(backlog) on disk,
+        which is inherent — the rows really are pending)."""
         upto = st["released_upto"]
-        if upto is None or not st["segments"]:
+        if not st["segments"]:
             return
         live, total_rows, dead_est = [], 0, 0.0
         for s in st["segments"]:
             total_rows += s["rows"]
-            if s["max_ct"] <= upto:  # fully released — drop whole
+            if upto is not None and s["max_ct"] <= upto:  # fully released
                 st["retired"].append(s["name"])
                 dead_est += s["rows"]
             else:
                 live.append(s)
-                if s["min_ct"] <= upto:  # partially released — estimate
+                if upto is not None and s["min_ct"] <= upto:  # partial
                     span = max(s["max_ct"] - s["min_ct"], 1)
                     dead_est += s["rows"] * (upto - s["min_ct"]) / span
         st["segments"] = live
-        if (
-            len(live) > 1
-            and total_rows > 0
-            and dead_est / total_rows > self.COMPACT_DEAD_FRACTION
+        if len(live) > 1 and (
+            (total_rows > 0 and dead_est / total_rows > self.COMPACT_DEAD_FRACTION)
+            or len(live) > self.MAX_LIVE_SEGMENTS
         ):
             remainder = self._seg_df(st)
             old = st["segments"]

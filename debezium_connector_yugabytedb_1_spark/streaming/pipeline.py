@@ -74,6 +74,7 @@ class CdcPipeline:
         message_prefix_include: str | None = None,
         message_prefix_exclude: str | None = None,
         auto_add_tables: bool = False,
+        expire_keep: int | None = 64,
     ):
         from ..config import validate_config
 
@@ -116,6 +117,14 @@ class CdcPipeline:
         #: ``self.reconfigurations``.
         self.auto_add_tables = auto_add_tables
         self.reconfigurations: list[tuple[int, tuple[str, ...]]] = []
+        #: lake-version retention: every window commits 1+ manifest
+        #: versions, so a long-running stream accumulates version files and
+        #: dead data dirs O(#windows); expiring down to the last
+        #: ``expire_keep`` after each commit is an O(keep) driver-side
+        #: listing (None disables — e.g. to keep full time-travel history)
+        if expire_keep is not None and int(expire_keep) < 1:
+            raise ValueError(f"expire_keep must be >= 1 or None, got {expire_keep}")
+        self.expire_keep = expire_keep
 
     # ------------------------------------------------------------------
     def _events(self) -> DataFrame:
@@ -199,6 +208,8 @@ class CdcPipeline:
                 # offsets were part of the single stats pass; commit + advance
                 t0 = time.monotonic()
                 self.ckpt.commit(stats["offsets"], meta={"next_lo": hi})
+                if self.expire_keep is not None:
+                    self.table.expire_versions(self.expire_keep)
                 _t("ckpt_commit", t0)
                 fut, window = nxt_fut, nxt_window
                 lo = hi

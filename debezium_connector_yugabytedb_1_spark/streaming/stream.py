@@ -53,6 +53,7 @@ def apply_batch(
     table: LakeTable,
     ckpt: CheckpointStore,
     gate=None,
+    expire_keep: int | None = 64,
 ) -> None:
     """The foreachBatch body — identical operator chain to CdcPipeline
     (minus index windowing, which Spark's source handles).
@@ -108,6 +109,10 @@ def apply_batch(
         table.merge_events(split_pk_updates(decoded), f"stream-{batch_id}-{i}")
     if gate is None:
         ckpt.commit(batch_offsets(batch))
+    if expire_keep is not None:
+        # bound version-file/dead-dir growth on long-running streams —
+        # O(keep) driver-side listing, no Spark job (lake.expire_versions)
+        table.expire_versions(expire_keep)
 
 
 def run_streaming(
@@ -118,6 +123,7 @@ def run_streaming(
     checkpoint_location: str,
     available_now: bool = True,
     gate=None,
+    expire_keep: int | None = 64,
 ) -> None:
     """Run the streaming pipeline until the available data is exhausted
     (availableNow) — the bounded-test mode; drop the trigger for continuous
@@ -126,7 +132,7 @@ def run_streaming(
     log ⇒ commit-order release is trivially satisfied for the tail)."""
     stream = read_event_stream(spark, events_path)
     writer = stream.writeStream.foreachBatch(
-        lambda df, bid: apply_batch(df, bid, table, ckpt, gate=gate)
+        lambda df, bid: apply_batch(df, bid, table, ckpt, gate=gate, expire_keep=expire_keep)
     ).option("checkpointLocation", checkpoint_location)
     if available_now:
         q = writer.trigger(availableNow=True).start()
@@ -136,5 +142,5 @@ def run_streaming(
     if gate is not None and available_now:
         drained = gate.flush()
         if drained is not None:
-            apply_batch(drained, "gate-flush", table, ckpt)
+            apply_batch(drained, "gate-flush", table, ckpt, expire_keep=expire_keep)
             gate.clear_pending()

@@ -163,6 +163,73 @@ def test_minhash_index_incremental_equals_batch(spark, tmp_path):
     assert len(want) >= 30  # the corpus genuinely seeds near-dup pairs
 
 
+def test_minhash_index_rejects_readd(spark, tmp_path):
+    """Adding an already-indexed doc_id must fail fast: silent duplicate
+    postings/sets rows would inflate every later add()'s verify pairs."""
+    from debezium_connector_yugabytedb_1_spark.operators.dedup import MinHashIndex
+
+    docs = _seeded_docs(spark, n_base=6)
+    idx = MinHashIndex(spark, str(tmp_path / "idx"), k=3)
+    idx.add(docs.where(F.col("doc_id") < 6)).collect()
+    with pytest.raises(ValueError, match="already indexed"):
+        idx.add(docs.where(F.col("doc_id") < 2))
+
+
+def test_minhash_index_pruned_reads_bounded_and_compact(spark, tmp_path):
+    """The 100 TB claim, tested: an increment's reads are bounded by the
+    partitions its own buckets/candidates touch, NOT by corpus size —
+    and compact() collapses the per-batch directory growth while
+    preserving every pair the one-shot batch run finds."""
+    from debezium_connector_yugabytedb_1_spark.operators.dedup import MinHashIndex
+
+    docs = _seeded_docs(spark, n_base=24)
+    idx = MinHashIndex(spark, str(tmp_path / "idx"), k=3)
+    # 4 committed batches of 10 docs each → postings spread over many pkeys
+    for i in range(4):
+        idx.add(docs.where((F.col("doc_id") >= i * 10) & (F.col("doc_id") < (i + 1) * 10)))
+    # a small increment (one near-dup pair) touches few (band,bucket)s:
+    # 2 docs × 8 bands = ≤16 of the 64 pkeys — reads must NOT scale with
+    # the stored corpus's partition count
+    small = docs.where(F.col("doc_id").isin(40, 41))
+    pairs = {(r["doc_a"], r["doc_b"]) for r in idx.add(small).collect()}
+    st = idx.last_add_stats
+    assert st["posting_partitions_read"] < st["posting_partitions_total"], st
+    assert st["set_partitions_read"] < st["set_partitions_total"], st
+    assert (40, 41) in pairs
+    # compact: 5 batches → 1; totals drop to O(parts); results preserved
+    assert idx.compact() == 5
+    assert idx._manifest() == [5]
+    last = docs.where(F.col("doc_id").isin(44, 45))
+    pairs2 = {(r["doc_a"], r["doc_b"]) for r in idx.add(last).collect()}
+    assert (44, 45) in pairs2
+    st2 = idx.last_add_stats
+    assert st2["posting_partitions_total"] <= 64, st2
+    assert st2["set_partitions_total"] <= 64, st2
+    # full-corpus ground truth over exactly the ids added: the union of
+    # all adds == the one-shot batch run
+    added = (F.col("doc_id") < 40) | F.col("doc_id").isin(40, 41, 44, 45)
+    want = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(
+            docs.where(added), k=3, threshold=0.5, max_df=None
+        ).collect()
+    }
+    got = set()
+    idx2 = MinHashIndex(spark, str(tmp_path / "idx2"), k=3)
+    for i in range(4):
+        got |= {
+            (r["doc_a"], r["doc_b"])
+            for r in idx2.add(
+                docs.where((F.col("doc_id") >= i * 10) & (F.col("doc_id") < (i + 1) * 10))
+            ).collect()
+        }
+        if i == 1:
+            idx2.compact()  # mid-stream compaction must not lose pairs
+    got |= {(r["doc_a"], r["doc_b"]) for r in idx2.add(small).collect()}
+    got |= {(r["doc_a"], r["doc_b"]) for r in idx2.add(last).collect()}
+    assert got == want
+
+
 def test_minhash_index_geometry_pinned_and_crash_safe(spark, tmp_path):
     """Reopening with a different hash geometry must fail fast (stored
     postings would silently join an incomparable hash family), and a
