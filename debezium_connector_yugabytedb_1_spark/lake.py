@@ -434,18 +434,32 @@ class LakeTable:
         # _values). This narrows both the shuffle row and every
         # max(struct) sort buffer from 3 longs to 1.
         pack = _packed_offset(F.col("term"), F.col("index"), F.col("write_id"))
-        # 8-byte key hash leads the grouping columns: the complete-mode fold
-        # is a SortAggregate over (bucket, salt, key...), and putting _kh
-        # before the (repo, path) strings lets every sort comparison
+        # 8-byte key hash leading the grouping columns: the complete-mode
+        # fold is a SortAggregate over (bucket, salt, key...), and putting
+        # _kh before the (repo, path) strings lets every sort comparison
         # short-circuit on a long instead of comparing two strings
         # (equal-hash ties fall through to the real key, so grouping is
-        # unchanged — _kh is a pure function of the key)
-        kh = F.xxhash64(*self.key_cols).alias("_kh")
+        # unchanged — _kh is a pure function of the key). Regime-adaptive
+        # (override with $SPARK_GRAFT_KEY_PREFIX=on|off): the prefix trades
+        # +8 bytes of shuffle row for cheaper sort compares — a win when
+        # the fold is sort-CPU-bound (lz4 / low parallelism, measured
+        # +7-12% at 1-8 cores), a loss when the shuffle codec is zstd and
+        # compression CPU dominates the row cost (measured ~4% at 32
+        # threads). Mirrors the adaptive shuffle-codec choice in session.py.
+        kp = os.environ.get("SPARK_GRAFT_KEY_PREFIX", "auto")
+        if kp == "auto":
+            use_kh = (
+                self.spark.conf.get("spark.io.compression.codec", "lz4") != "zstd"
+            )
+        else:
+            use_kh = kp == "on"
+        kh_cols = [F.xxhash64(*self.key_cols).alias("_kh")] if use_kh else []
+        kh_group = ["_kh"] if use_kh else []
         ev = dml.select(
             *key,
             bkt.alias("bucket"),
             salt.alias("_salt"),
-            kh,
+            *kh_cols,
             "op",
             pack.alias("_off"),
             *[F.col(f"after.{c}").alias(f"_v_{c}") for c in cols],
@@ -466,7 +480,7 @@ class LakeTable:
             *key,
             bkt.alias("bucket"),
             salt.alias("_salt"),
-            kh,
+            *kh_cols,
             F.when(t_dead, F.lit("d")).otherwise(F.lit("r")).alias("op"),
             t_pack.alias("_off"),
             *[F.col(c).alias(f"_v_{c}") for c in cols],
@@ -502,7 +516,7 @@ class LakeTable:
             )
         g = (
             u.repartition(self.n_buckets * salt_width, "bucket", "_salt")
-            .groupBy("bucket", "_salt", "_kh", *key)
+            .groupBy("bucket", "_salt", *kh_group, *key)
             .agg(*aggs)
         )
 

@@ -57,6 +57,21 @@ def test_merge_events_equals_fold_then_merge(spark, tmp_path):
     assert _snap(t_classic) == _snap(t_fused)
 
 
+def test_merge_events_key_prefix_modes_equivalent(spark, tmp_path, monkeypatch):
+    """The _kh sort-prefix is a pure perf knob (regime-adaptive by shuffle
+    codec): forced on and forced off must produce identical table state."""
+    ev = generate_events(spark, 4000)
+    snaps = []
+    for mode in ("on", "off"):
+        monkeypatch.setenv("SPARK_GRAFT_KEY_PREFIX", mode)
+        t = LakeTable(spark, str(tmp_path / f"kp_{mode}"), n_buckets=4)
+        t.init(COLS)
+        t.merge_events(_dml(ev.where(F.col("index") < 2000)), "b0")
+        t.merge_events(_dml(ev.where(F.col("index") >= 2000)), "b1")
+        snaps.append(_snap(t))
+    assert snaps[0] == snaps[1]
+
+
 def test_merge_events_sha_reuse_and_invariant(spark, tmp_path):
     """The sha256 column must equal sha256(content) even when the fused path
     reuses the stored digest for carried/unchanged rows."""
