@@ -89,6 +89,10 @@ class ConsistentGate:
         self.spark = spark
         self.path = path
         self.tablets = list(tablets) if tablets is not None else None
+        #: scan accounting for the most recent _seg_df / release read —
+        #: {"segments_read", "segments_live"}; tested, not just claimed
+        self.last_scan: dict = {}
+        self.last_release_scan: dict = {}
         os.makedirs(path, exist_ok=True)
 
     # ---------------------------------------------------------- state
@@ -131,9 +135,32 @@ class ConsistentGate:
         return min((times[t] for t in consumed), key=ht_key_py)
 
     # ------------------------------------------------------- segments
-    def _seg_df(self, st: dict, exclude: set[str] = frozenset()) -> DataFrame | None:
-        """Union of live segments, filtered to logically-live rows."""
-        names = [s["name"] for s in st["segments"] if s["name"] not in exclude]
+    def _seg_df(
+        self,
+        st: dict,
+        exclude: set[str] = frozenset(),
+        min_ct_leq: int | None = None,
+    ) -> DataFrame | None:
+        """Union of live segments, filtered to logically-live rows.
+
+        ``min_ct_leq`` prunes the READ itself using the per-segment
+        commit-time extents held in driver state: a segment whose
+        ``min_ct`` (ht_key domain) is above the threshold cannot contain a
+        row at or below it, so its files are never opened. The release path
+        passes the gate here — while one cold tablet drags the gate low, a
+        deep backlog is carried WITHOUT re-reading it every trigger.
+        Segments are immutable, so pruning never changes carried-forward
+        semantics, only which files back the union."""
+        names = [
+            s["name"]
+            for s in st["segments"]
+            if s["name"] not in exclude
+            and (min_ct_leq is None or s["min_ct"] <= min_ct_leq)
+        ]
+        self.last_scan = {
+            "segments_read": len(names),
+            "segments_live": sum(1 for s in st["segments"] if s["name"] not in exclude),
+        }
         if not names:
             return None
         df = self.spark.read.parquet(*[os.path.join(self.path, n) for n in names])
@@ -275,8 +302,21 @@ class ConsistentGate:
                     key=ht_key_py,
                 )
         new_rows = batch.where(~F.col("op").isin(*NON_DISPATCHED_OPS))
-        carried = self._seg_df(st, exclude={f"seg_b{bid}"})
         gate = self.stream_safetime(st)
+        # released-side read is PRUNED by driver-held segment extents: only
+        # segments that can hold a row <= gate are opened (closed gate ⇒
+        # zero segment files touched, however deep the backlog)
+        if gate is not None:
+            carried = self._seg_df(
+                st, exclude={f"seg_b{bid}"}, min_ct_leq=ht_key_py(gate)
+            )
+            self.last_release_scan = dict(self.last_scan)
+        else:
+            carried = None
+            self.last_release_scan = {
+                "segments_read": 0,
+                "segments_live": len(st["segments"]),
+            }
         # the effective release threshold for NEW rows is the max of the
         # current gate and the already-released watermark: a row arriving
         # AT OR BELOW released_upto (a late tablet in seen-tablets mode can

@@ -75,6 +75,7 @@ class CdcPipeline:
         message_prefix_exclude: str | None = None,
         auto_add_tables: bool = False,
         expire_keep: int | None = 64,
+        vacuum_every: int | None = None,
     ):
         from ..config import validate_config
 
@@ -125,6 +126,18 @@ class CdcPipeline:
         if expire_keep is not None and int(expire_keep) < 1:
             raise ValueError(f"expire_keep must be >= 1 or None, got {expire_keep}")
         self.expire_keep = expire_keep
+        #: opt-in tombstone maintenance: every ``vacuum_every`` committed
+        #: windows, reclaim tombstones whose delete offset is below the
+        #: committed checkpoint's min index across tablets — below that
+        #: bound no transport can redeliver an out-of-order CREATE that the
+        #: tombstone exists to absorb, so reclaiming is safe. Off by
+        #: default: it is a full-table rewrite (Iceberg rewrite_data_files
+        #: analogue), a maintenance cost the operator schedules, not a
+        #: per-batch tax. Reclaim counts land in ``self.vacuumed``.
+        if vacuum_every is not None and int(vacuum_every) < 1:
+            raise ValueError(f"vacuum_every must be >= 1 or None, got {vacuum_every}")
+        self.vacuum_every = vacuum_every
+        self.vacuumed = 0
 
     # ------------------------------------------------------------------
     def _events(self) -> DataFrame:
@@ -210,6 +223,11 @@ class CdcPipeline:
                 self.ckpt.commit(stats["offsets"], meta={"next_lo": hi})
                 if self.expire_keep is not None:
                     self.table.expire_versions(self.expire_keep)
+                if self.vacuum_every is not None and (n + 1) % self.vacuum_every == 0:
+                    committed = self.ckpt.load_rows() or []
+                    if committed:
+                        safe = min(int(r[2]) for r in committed)
+                        self.vacuumed += self.table.vacuum_tombstones(safe)
                 _t("ckpt_commit", t0)
                 fut, window = nxt_fut, nxt_window
                 lo = hi

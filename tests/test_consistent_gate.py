@@ -258,3 +258,36 @@ def test_gate_late_row_below_watermark_released_not_lost(spark, tmp_path):
     )
     assert [r["commit_time"] for r in rel3.collect()] == [120]
     assert gate.flush() is None
+
+
+def test_gate_release_read_prunes_segments_by_extent(spark, tmp_path):
+    """The released-side backlog read must be PRUNED by the per-segment
+    commit-time extents held in driver state: a closed-gate trigger over a
+    deep backlog opens ZERO segment files, and a partially-open gate opens
+    only segments whose min_ct can contribute — never the whole backlog."""
+    schema = "tablet_id string, op string, commit_time long, k string"
+
+    def mk(rows):
+        return spark.createDataFrame(rows, schema)
+
+    gate = ConsistentGate(spark, str(tmp_path / "g_prune"), tablets=["a", "b"])
+    # three disjoint-extent segments accumulate while the gate is closed
+    for i, lo in enumerate((1, 101, 201)):
+        batch = mk([("a", "c", ct, f"k{ct}") for ct in range(lo, lo + 10)])
+        assert gate.process(batch, i).count() == 0
+    # closed gate + deep backlog: the release path reads NO segment files
+    assert gate.process(mk([("a", "c", 301, "k301")]), 3).count() == 0
+    # (the current trigger's own segment is written after the read: live=3)
+    assert gate.last_release_scan == {"segments_read": 0, "segments_live": 3}
+    # gate opens at 5: only the (1..10) segment is extent-eligible
+    rel = gate.process(
+        mk([("a", "SAFEPOINT", 500, None), ("b", "SAFEPOINT", 5, None)]), 4
+    )
+    assert sorted(r["commit_time"] for r in rel.collect()) == [1, 2, 3, 4, 5]
+    assert gate.last_release_scan["segments_live"] == 4
+    assert gate.last_release_scan["segments_read"] == 1
+    # nothing lost to the pruning: the rest is still pending, in order
+    assert sorted(r["commit_time"] for r in gate.flush().collect()) == (
+        list(range(6, 11)) + list(range(101, 111)) + list(range(201, 211))
+        + [301]
+    )

@@ -61,3 +61,41 @@ def test_composes_with_jaccard_pairs(spark):
     } == {(1, 2), (2, 3)}
     got = _collect(resolve_groups(pairs))
     assert got == {1: (1, True), 2: (1, False), 3: (1, False)}
+
+
+def test_near_dup_groups_batch_and_incremental(spark, tmp_path):
+    """The full dedup story in anger over NEAR-dup pairs: a transitive
+    chain A~B~C with A≁C must land in ONE group with one survivor — both
+    through batch ``minhash_lsh_pairs`` and through ``MinHashIndex.add``
+    increments that only ever see part of the chain at a time."""
+    from debezium_connector_yugabytedb_1_spark.operators.dedup import (
+        MinHashIndex,
+        minhash_lsh_pairs,
+    )
+
+    w = [f"tok{i}" for i in range(24)]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(w[0:12])),   # J(1,2)=9/15=0.60, J(2,3)=0.60
+            (2, " ".join(w[3:15])),   # J(1,3)=6/18=0.33 — chain, not clique
+            (3, " ".join(w[6:18])),
+            (4, "entirely unrelated content nothing shared here zero"),
+        ],
+        "doc_id long, text string",
+    )
+    geo = dict(k=1, n_hashes=64, bands=16, threshold=0.55)
+
+    def assert_chain(pairs):
+        assert {
+            (r["doc_a"], r["doc_b"])
+            for r in pairs.select("doc_a", "doc_b").collect()
+        } == {(1, 2), (2, 3)}
+        got = _collect(resolve_groups(pairs))
+        assert got == {1: (1, True), 2: (1, False), 3: (1, False)}
+
+    assert_chain(minhash_lsh_pairs(docs, **geo))
+    # incremental: the chain is discovered across two adds (2~3 spans them)
+    idx = MinHashIndex(spark, str(tmp_path / "nd_idx"), **geo)
+    p1 = idx.add(docs.where("doc_id in (1, 2)"))
+    p2 = idx.add(docs.where("doc_id in (3, 4)"))
+    assert_chain(p1.unionByName(p2))
