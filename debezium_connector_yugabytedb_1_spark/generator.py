@@ -67,6 +67,7 @@ def generate_events(
     num_partitions: int | None = None,
     payload_format: str = "json",
     txn_markers: bool = False,
+    start: int = 0,
 ) -> DataFrame:
     """Build the enveloped change-event DataFrame (not yet written anywhere).
 
@@ -84,9 +85,17 @@ def generate_events(
     hosts). Rare non-DML payloads (DDL markers, logical-decoding messages)
     stay JSON in the ``payload`` string column in both formats, since
     their consumers are driver-side point lookups.
+
+    ``start``: first event id — every column is a pure function of the
+    event id, so ``generate_events(n, start=s)`` is bit-identical to the
+    ``[s, s+n)`` slice of ``generate_events(s+n)``. This is what lets a
+    long-horizon soak stream windows of a 10^8+-event log without ever
+    materializing (or re-ranging) the whole log per batch.
     """
     num_partitions = num_partitions or spark.sparkContext.defaultParallelism
-    df = spark.range(0, n_events, 1, num_partitions).withColumnRenamed("id", "eid")
+    df = spark.range(start, start + n_events, 1, num_partitions).withColumnRenamed(
+        "id", "eid"
+    )
 
     # --- key space (skewed) -------------------------------------------------
     repo_idx = F.when(
