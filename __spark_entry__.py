@@ -775,9 +775,53 @@ def q_cdc_typed_decode(spark, sf_dir):
     )
 
 
+def q_cdc_cql_typed_decode(spark, sf_dir):
+    """P2b — the CQL (YCQL) converter family: synthesize the *binary*
+    wire datums a CQL table delivers (``YbProtoCqlColumnValue`` wraps raw
+    ``QLValuePB`` payloads) and run ``YugabyteDBCQLValueConverter``'s
+    distinctive conversions: 4-octet INET (invalid length → ""), 16-byte
+    UUID → canonical string (empty → ""), VARINT text ("" → 0), BLOB
+    base64/hex modes, and the DATE/TIME/TIMESTAMP precision ladders."""
+    from debezium_connector_yugabytedb_1_spark.functions import converters_cql as CQ
+
+    i = F.col("event_id")
+    m = F.pmod(i, F.lit(10))
+    base = _events(spark, sf_dir).select("event_id").where(i < 2000)
+    h2 = lambda k: F.lpad(F.hex(F.pmod(i * k, F.lit(256)).cast("int")), 2, "0")  # noqa: E731
+    inet_wire = F.when(m == 0, F.unhex(F.lit("0A0B0C"))).otherwise(
+        F.unhex(F.concat(h2(1), h2(7), h2(13), h2(31)))
+    )
+    uuid_wire = F.when(m == 1, F.unhex(F.lit(""))).otherwise(
+        F.unhex(F.md5(F.concat(F.lit("q"), i.cast("string"))))
+    )
+    varint_wire = F.when(m == 2, F.lit("")).otherwise((i * 1000003 - 500).cast("string"))
+    blob_wire = F.unhex(F.md5(F.concat(F.lit("b"), i.cast("string"))))
+    days_wire = (i - 500).cast("int")
+    time_nanos = F.pmod(i * F.lit(123_456_789_011), F.lit(86_400_000_000_000))
+    ts_micros = F.lit(1_600_000_000_000_000) + i * 1000003
+    return base.select(
+        i.alias("event_id"),
+        CQ.cql_inet_from_bytes(inet_wire).alias("inet_str"),
+        CQ.cql_uuid_from_bytes(uuid_wire).alias("uuid_str"),
+        CQ.cql_varint(varint_wire).alias("varint_val"),
+        CQ.cql_blob(blob_wire, "base64").alias("blob_b64"),
+        CQ.cql_blob(blob_wire, "hex").alias("blob_hex"),
+        F.lower(F.hex(CQ.normalize_binary(F.unhex(F.substring(F.md5(i.cast("string")), 1, 4)), 4))).alias("binary_padded_hex"),
+        CQ.cql_date(days_wire).cast("long").alias("date_days"),
+        CQ.cql_date(days_wire, "connect").alias("date_epoch_ms"),
+        CQ.cql_time(time_nanos, precision=3).alias("time_ms"),
+        CQ.cql_time(time_nanos, precision=6).alias("time_us"),
+        CQ.cql_time(time_nanos, precision=9).alias("time_ns"),
+        CQ.cql_timestamp(ts_micros, precision=3).alias("ts_ms"),
+        CQ.cql_timestamp(ts_micros, precision=6).alias("ts_us"),
+        CQ.cql_timestamp(ts_micros, precision=9).alias("ts_ns"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_typed_decode": q_cdc_typed_decode,
+        "cdc_cql_typed_decode": q_cdc_cql_typed_decode,
         "cdc_lww_dedup": q_cdc_lww_dedup,
         "cdc_replay_state": q_cdc_replay_state,
         "cdc_checkpoint_max_merge": q_cdc_checkpoint_max_merge,
@@ -877,6 +921,36 @@ def oracle_sql() -> dict[str, str]:
                 lpad(CAST((tzus // 60000000) % 60 AS VARCHAR), 2, '0') || ':' ||
                 lpad(CAST((tzus // 1000000) % 60 AS VARCHAR), 2, '0') || '.' ||
                 lpad(CAST(tzus % 1000000 AS VARCHAR), 6, '0') || 'Z' AS timetz_utc
+            FROM base
+        """,
+        "cdc_cql_typed_decode": """
+            WITH base AS (
+              SELECT event_id AS i,
+                (event_id * 123456789011) % 86400000000000 AS tn,
+                1600000000000000 + event_id * 1000003 AS tu
+              FROM events WHERE event_id < 2000)
+            SELECT i AS event_id,
+              CASE WHEN i % 10 = 0 THEN '' ELSE
+                concat_ws('.', (i % 256)::VARCHAR, ((i * 7) % 256)::VARCHAR,
+                          ((i * 13) % 256)::VARCHAR, ((i * 31) % 256)::VARCHAR)
+              END AS inet_str,
+              CASE WHEN i % 10 = 1 THEN '' ELSE
+                concat_ws('-', substr(md5('q' || i), 1, 8), substr(md5('q' || i), 9, 4),
+                          substr(md5('q' || i), 13, 4), substr(md5('q' || i), 17, 4),
+                          substr(md5('q' || i), 21, 12))
+              END AS uuid_str,
+              (CASE WHEN i % 10 = 2 THEN 0 ELSE i * 1000003 - 500 END)::BIGINT AS varint_val,
+              to_base64(from_hex(md5('b' || i))) AS blob_b64,
+              md5('b' || i) AS blob_hex,
+              substr(md5(i::VARCHAR), 1, 4) || '0000' AS binary_padded_hex,
+              (i - 500)::BIGINT AS date_days,
+              ((i - 500) * 86400000)::BIGINT AS date_epoch_ms,
+              (tn // 1000000)::BIGINT AS time_ms,
+              (tn // 1000)::BIGINT AS time_us,
+              tn::BIGINT AS time_ns,
+              (tu // 1000)::BIGINT AS ts_ms,
+              tu::BIGINT AS ts_us,
+              (tu * 1000)::BIGINT AS ts_ns
             FROM base
         """,
         "cdc_lww_dedup": f"""
