@@ -498,6 +498,38 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5, max_df=256)
 
 
+def q_dedup_incremental_index(spark, sf_dir):
+    """Rows-only check: the persisted incremental MinHash-LSH index.
+    Ingest the documents table in two batches through ``MinHashIndex.add``
+    (partition-pruned postings + sets stores) and return every verified
+    near-dup pair surfaced across the increments — equivalence with the
+    one-shot batch path is pytest-asserted; LSH candidacy itself is not
+    SQL-replicable, hence no DuckDB oracle."""
+    import shutil
+    import tempfile
+
+    from debezium_connector_yugabytedb_1_spark.operators.dedup import MinHashIndex
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    half = F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0
+    path = tempfile.mkdtemp(prefix="mhidx_query_")
+    try:
+        idx = MinHashIndex(
+            spark, path, threshold=0.5, n_posting_parts=8, n_set_parts=8
+        )
+        p1 = idx.add(docs.where(half))
+        p2 = idx.add(docs.where(~half))
+        out = (
+            p1.unionByName(p2)
+            .select("doc_a", "doc_b", "inter", "na", "nb")
+            .orderBy("doc_a", "doc_b")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return out
+
+
 def q_dedup_simhash(spark, sf_dir):
     """Rows-only check: SimHash band-collision candidate pairs."""
     from debezium_connector_yugabytedb_1_spark.operators.dedup import simhash_pairs
@@ -844,6 +876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_groups": q_dedup_groups,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_incremental_index": q_dedup_incremental_index,
         "dedup_simhash": q_dedup_simhash,
         "ann_brute_force_topk": q_ann_brute_force_topk,
         "ann_lsh_topk": q_ann_lsh_topk,

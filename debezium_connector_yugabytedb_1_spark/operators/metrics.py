@@ -114,6 +114,129 @@ def decode_messages(
     )
 
 
+class TaskMetrics:
+    """MXBean-parity task metrics — the Spark analogue of the reference's
+    JMX surface: the per-partition event meter
+    (``AbstractYugabyteDBPartitionMetrics.java:37-77`` /
+    ``YugabyteDBPartitionMetricsMXBean``) and the streaming meter
+    (``YugabyteDBStreamingPartitionMetrics.java:41-63`` /
+    ``YugabyteDBStreamingTaskMetricsMXBean``).
+
+    Spark-first shape: instead of on-heap meters ticked per record, each
+    batch contributes ONE aggregate (map-side combinable, all built-in
+    functions) whose single result row updates driver-side counters;
+    ``snapshot()`` returns a dict keyed by the MXBean attribute names so a
+    dashboard reads the same gauges a JMX console would. Driver state is
+    O(#tables) + O(#tablets) — the same bound the reference holds on-heap.
+
+    Op mapping per ``CommonEventMeter``: ``c``→create, ``u``→update,
+    ``d``→delete; snapshot reads (``r``) count toward the total only;
+    every row counts toward TotalNumberOfEventsSeen. Filtered/erroneous
+    counts are driver-supplied (the pipeline knows how many rows its
+    filters dropped — ``onFilteredEvent:86-94`` / ``onErroneousEvent``).
+    ``SourceEventPosition`` is supplied from the checkpoint commit the
+    pipeline already computes (no extra shuffle).
+    """
+
+    def __init__(self):
+        self._c = {
+            "TotalNumberOfEventsSeen": 0,
+            "TotalNumberOfCreateEventsSeen": 0,
+            "TotalNumberOfUpdateEventsSeen": 0,
+            "TotalNumberOfDeleteEventsSeen": 0,
+            "NumberOfEventsFiltered": 0,
+            "NumberOfErroneousEvents": 0,
+            "NumberOfCommittedTransactions": 0,
+        }
+        self._captured_tables: set[str] = set()
+        self._last_event: str | None = None
+        self._last_txn_id: str | None = None
+        self._last_event_wall_ms: int | None = None
+        self._max_commit_time_ms: int | None = None
+        self._position: dict[str, str] = {}
+
+    def update(
+        self,
+        batch: DataFrame,
+        n_filtered: int = 0,
+        n_erroneous: int = 0,
+        position: dict[str, str] | None = None,
+        wallclock_ms: int | None = None,
+    ) -> None:
+        """Fold one batch into the meters: a single ``agg`` over the batch
+        (one job, one result row collected)."""
+        import time
+
+        op = F.col("op")
+        is_commit = op == "COMMIT"
+        row = batch.agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum((op == "c").cast("long")).alias("creates"),
+            F.sum((op == "u").cast("long")).alias("updates"),
+            F.sum((op == "d").cast("long")).alias("deletes"),
+            F.sum(is_commit.cast("long")).alias("txns"),
+            F.max("commit_time").alias("max_ct"),
+            F.max_by(
+                F.concat_ws(
+                    "/", F.col("table"), op, F.col("tablet_id"),
+                    F.col("index").cast("string"),
+                ),
+                F.struct("commit_time", "index", "write_id"),
+            ).alias("last_event"),
+            F.max_by(
+                F.when(is_commit, F.col("txn_id")),
+                F.when(is_commit, F.col("commit_time")),
+            ).alias("last_txn"),
+            F.collect_set(F.when(op.isin("c", "u", "d", "r"), F.col("table"))).alias(
+                "tables"
+            ),
+        ).first()
+        wall = int(time.time() * 1000) if wallclock_ms is None else wallclock_ms
+        self._c["TotalNumberOfEventsSeen"] += row["total"]
+        self._c["TotalNumberOfCreateEventsSeen"] += row["creates"] or 0
+        self._c["TotalNumberOfUpdateEventsSeen"] += row["updates"] or 0
+        self._c["TotalNumberOfDeleteEventsSeen"] += row["deletes"] or 0
+        self._c["NumberOfCommittedTransactions"] += row["txns"] or 0
+        self._c["NumberOfEventsFiltered"] += n_filtered
+        self._c["NumberOfErroneousEvents"] += n_erroneous
+        self._captured_tables.update(t for t in row["tables"] if t is not None)
+        if row["total"]:
+            self._last_event = row["last_event"]
+            self._last_event_wall_ms = wall
+        if row["last_txn"] is not None:
+            self._last_txn_id = row["last_txn"]
+        if row["max_ct"] is not None:
+            # commit_time >> 12 = physical micros (SourceInfo.java:96)
+            ms = (row["max_ct"] >> 12) // 1000
+            self._max_commit_time_ms = max(self._max_commit_time_ms or 0, ms)
+        if position:
+            self._position.update(position)
+
+    def snapshot(self, wallclock_ms: int | None = None) -> dict:
+        """The MXBean attribute view (names match the reference's JMX
+        surface attribute-for-attribute)."""
+        import time
+
+        wall = int(time.time() * 1000) if wallclock_ms is None else wallclock_ms
+        return {
+            **self._c,
+            "LastEvent": self._last_event,
+            "LastTransactionId": self._last_txn_id,
+            "MilliSecondsSinceLastEvent": (
+                -1
+                if self._last_event_wall_ms is None
+                else wall - self._last_event_wall_ms
+            ),
+            "MilliSecondsBehindSource": (
+                -1
+                if self._max_commit_time_ms is None
+                else wall - self._max_commit_time_ms
+            ),
+            "CapturedTables": tuple(sorted(self._captured_tables)),
+            "SourceEventPosition": dict(self._position),
+        }
+
+
 def txn_metadata(events: DataFrame) -> DataFrame:
     """T1 — transaction-boundary metadata stream: per txn, event count +
     commit-time span (analogue of BEGIN/END metadata records,

@@ -43,7 +43,12 @@ from ..operators import filters
 from ..operators.checkpoint import CheckpointStore, resume_filter
 from ..operators.decode import decode_envelope
 from ..operators.emit import DML_OPS, split_pk_updates
-from ..operators.metrics import MetricsSink, batch_metrics, warn_wal_backlog
+from ..operators.metrics import (
+    MetricsSink,
+    TaskMetrics,
+    batch_metrics,
+    warn_wal_backlog,
+)
 
 
 @dataclass
@@ -76,6 +81,7 @@ class CdcPipeline:
         auto_add_tables: bool = False,
         expire_keep: int | None = 64,
         vacuum_every: int | None = None,
+        task_metrics: "TaskMetrics | None" = None,
     ):
         from ..config import validate_config
 
@@ -101,6 +107,9 @@ class CdcPipeline:
         self.table = table
         self.ckpt = ckpt
         self.metrics = metrics
+        #: opt-in MXBean-parity gauges (``TaskMetrics.snapshot()``); one
+        #: extra single-row agg per sub-batch when enabled
+        self.task_metrics = task_metrics
         self.events_per_batch = events_per_batch
         self.table_include = table_include
         self.table_exclude = table_exclude
@@ -394,6 +403,14 @@ class CdcPipeline:
         batch = resume_filter(batch, self.ckpt.load())
         if self.metrics is not None:
             self.metrics.append(batch_metrics(batch, batch_id))
+        if self.task_metrics is not None:
+            self.task_metrics.update(
+                batch,
+                position={
+                    t: f"{term}:{idx}:{w}"
+                    for (t, term, idx, w, _src) in stats["offsets"]
+                },
+            )
         if self.message_sink is not None and "msg_prefix" in batch.columns:
             # logical-decoding message side output
             # (``LogicalDecodingMessageMonitor.java``)
