@@ -29,9 +29,9 @@ import sys
 import time
 
 
-def run_once(tree: str, env: dict) -> dict:
+def run_once(tree: str, env: dict, extra: list[str]) -> dict:
     proc = subprocess.run(
-        [sys.executable, "bench.py"],
+        [sys.executable, "bench.py", *extra],
         cwd=tree,
         env=env,
         stdout=subprocess.PIPE,
@@ -50,6 +50,10 @@ def main() -> None:
     ap.add_argument("--label-b", default="B")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--headline-only", action="store_true",
+        help="pass --single --no-queries to bench.py (replay only, ~3x more reps per window)",
+    )
     args = ap.parse_args()
 
     env = dict(os.environ)
@@ -60,7 +64,8 @@ def main() -> None:
     t0 = time.time()
     for rep in range(args.reps):
         for label, tree in trees:
-            r = run_once(tree, env)
+            extra = ["--single", "--no-queries"] if args.headline_only else []
+            r = run_once(tree, env, extra)
             reps[label].append(r)
             print(
                 f"rep {rep} {label}: {r['events_per_sec']} ev/s "
