@@ -406,6 +406,46 @@ def write_events(
         out.write.mode("overwrite").parquet(path)
 
 
+def prune_wal_segments(path: str, upto_index: int) -> int:
+    """WAL-retention acknowledgement — the Spark-side analogue of the
+    reference's offset-commit handshake: Kafka Connect's periodic
+    ``commit()`` max-merges processed offsets and hands them to the
+    server via ``commitOffset`` (``YugabyteDBConnectorTask.java:437-477``,
+    ``getHigherOffsets:488-518``), which lets the database trim WAL the
+    consumer no longer needs. Here the consumed log is a
+    segment-partitioned parquet WAL, so acking = deleting every
+    ``segment=K`` directory whose rows all have ``index < upto_index``.
+
+    ``upto_index`` must be a durably-committed resume point (the
+    pipeline's ``next_lo`` checkpoint meta: everything below it is
+    processed AND checkpointed, so a crash-resume never re-reads it).
+    Partially-covered segments are kept — trimming is whole-segment,
+    like the server's WAL-file granularity. Driver-side directory
+    surgery, zero Spark jobs; returns the number of segments removed.
+    Requires a ``segment_size``-partitioned log (``write_events``);
+    unsegmented logs are one object and cannot be trimmed."""
+    import json
+    import os
+    import shutil
+
+    meta = os.path.join(path, "_ybcdc_meta.json")
+    if not os.path.exists(meta):
+        return 0
+    with open(meta) as f:
+        seg_size = json.load(f).get("segment_size")
+    if not seg_size:
+        return 0
+    removed = 0
+    for name in os.listdir(path):
+        if not name.startswith("segment="):
+            continue
+        k = int(name.split("=", 1)[1])
+        if (k + 1) * seg_size <= upto_index:  # max index in segment K is (k+1)*s - 1
+            shutil.rmtree(os.path.join(path, name))
+            removed += 1
+    return removed
+
+
 def tablets_table(spark: SparkSession, n_tablets: int = 8, key_space: int = 65536) -> DataFrame:
     """S1 — tablet discovery output: hash-range shards covering the keyspace.
 

@@ -81,6 +81,7 @@ class CdcPipeline:
         auto_add_tables: bool = False,
         expire_keep: int | None = 64,
         vacuum_every: int | None = None,
+        prune_wal_every: int | None = None,
         task_metrics: "TaskMetrics | None" = None,
     ):
         from ..config import validate_config
@@ -147,9 +148,30 @@ class CdcPipeline:
             raise ValueError(f"vacuum_every must be >= 1 or None, got {vacuum_every}")
         self.vacuum_every = vacuum_every
         self.vacuumed = 0
+        #: opt-in WAL-retention ack: every ``prune_wal_every`` committed
+        #: batches, delete log segments wholly below the committed resume
+        #: point (``generator.prune_wal_segments`` — the reference's
+        #: commitOffset handshake, ``YugabyteDBConnectorTask.java:437-477``).
+        #: Only effective on segment-partitioned logs. Counts land in
+        #: ``self.pruned_segments``.
+        if prune_wal_every is not None and int(prune_wal_every) < 1:
+            raise ValueError(
+                f"prune_wal_every must be >= 1 or None, got {prune_wal_every}"
+            )
+        self.prune_wal_every = prune_wal_every
+        self.pruned_segments = 0
 
     # ------------------------------------------------------------------
-    def _events(self) -> DataFrame:
+    def _events(self) -> DataFrame | None:
+        import os
+
+        # a segmented WAL whose every segment was retention-pruned is a
+        # fully-consumed log: nothing to read, not an error (the resume
+        # point is at/above the trim point by construction)
+        if os.path.exists(os.path.join(self.events_path, "_ybcdc_meta.json")) and not any(
+            n.startswith("segment=") for n in os.listdir(self.events_path)
+        ):
+            return None
         return self.spark.read.parquet(self.events_path)
 
     def _segment_size(self) -> int | None:
@@ -177,6 +199,8 @@ class CdcPipeline:
         the available log (or ``max_batches`` windows — the kill/resume
         test's kill switch)."""
         events = self._events()
+        if events is None:  # fully retention-pruned log — all consumed
+            return []
         lo = int(self.ckpt.meta().get("next_lo", 0))
         results: list[BatchResult] = []
         n = 0
@@ -237,6 +261,17 @@ class CdcPipeline:
                     if committed:
                         safe = min(int(r[2]) for r in committed)
                         self.vacuumed += self.table.vacuum_tombstones(safe)
+                if (
+                    self.prune_wal_every is not None
+                    and (n + 1) % self.prune_wal_every == 0
+                ):
+                    from ..generator import prune_wal_segments
+
+                    # hi is durably committed (next_lo) — the log below it
+                    # is never re-read, even on crash-resume
+                    self.pruned_segments += prune_wal_segments(
+                        self.events_path, hi
+                    )
                 _t("ckpt_commit", t0)
                 fut, window = nxt_fut, nxt_window
                 lo = hi
