@@ -114,6 +114,76 @@ def decode_messages(
     )
 
 
+class SnapshotMetrics:
+    """MXBean-parity snapshot gauges — the Spark analogue of
+    ``YugabyteDBSnapshotPartitionMetrics.java:29-124`` /
+    ``YugabyteDBSnapshotPartitionMetricsMXBean``: table progress,
+    running/completed/aborted state, duration, per-table rows scanned,
+    and the current-chunk window the reference exposes for incremental
+    snapshots. Fed by ``run_snapshot``'s driver loop at zero extra Spark
+    cost (chunk row counts come from the MERGE's own observed stats)."""
+
+    def __init__(self):
+        self._tables: list[str] = []
+        self._completed_tables: set[str] = set()
+        self._running = False
+        self._completed = False
+        self._aborted = False
+        self._t0_ms: int | None = None
+        self._t1_ms: int | None = None
+        self._rows: dict[str, int] = {}
+        self._chunk: tuple[str | None, str | None, str | None] = (None, None, None)
+
+    def _now(self, wallclock_ms: int | None) -> int:
+        import time
+
+        return int(time.time() * 1000) if wallclock_ms is None else wallclock_ms
+
+    def snapshot_started(self, tables, wallclock_ms: int | None = None) -> None:
+        """``snapshotStarted`` + ``monitoredDataCollectionsDetermined``."""
+        self._tables = list(tables)
+        self._running, self._completed, self._aborted = True, False, False
+        if self._t0_ms is None:  # resume keeps the original start
+            self._t0_ms = self._now(wallclock_ms)
+
+    def current_chunk(self, chunk_id: str, chunk_from, chunk_to) -> None:
+        self._chunk = (chunk_id, str(chunk_from), str(chunk_to))
+
+    def rows_scanned(self, table: str, n: int) -> None:
+        self._rows[table] = self._rows.get(table, 0) + int(n)
+
+    def table_completed(self, table: str) -> None:
+        self._completed_tables.add(table)
+
+    def snapshot_completed(self, wallclock_ms: int | None = None) -> None:
+        self._running, self._completed = False, True
+        self._t1_ms = self._now(wallclock_ms)
+
+    def snapshot_aborted(self, wallclock_ms: int | None = None) -> None:
+        self._running, self._aborted = False, True
+        self._t1_ms = self._now(wallclock_ms)
+
+    def snapshot(self, wallclock_ms: int | None = None) -> dict:
+        end = self._t1_ms if self._t1_ms is not None else self._now(wallclock_ms)
+        return {
+            "TotalTableCount": len(self._tables),
+            "RemainingTableCount": len(
+                [t for t in self._tables if t not in self._completed_tables]
+            ),
+            "SnapshotRunning": self._running,
+            "SnapshotCompleted": self._completed,
+            "SnapshotAborted": self._aborted,
+            "SnapshotDurationInSeconds": (
+                0 if self._t0_ms is None else max(0, (end - self._t0_ms) // 1000)
+            ),
+            "CapturedTables": tuple(sorted(self._tables)),
+            "RowsScanned": dict(self._rows),
+            "ChunkId": self._chunk[0],
+            "ChunkFrom": self._chunk[1],
+            "ChunkTo": self._chunk[2],
+        }
+
+
 class TaskMetrics:
     """MXBean-parity task metrics — the Spark analogue of the reference's
     JMX surface: the per-partition event meter

@@ -57,6 +57,7 @@ def run_snapshot(
     chunks_per_tablet: int = 1,
     max_chunks: int | None = None,
     staging_path: str | None = None,
+    metrics=None,
 ) -> int:
     """Execute the snapshot phase **resumably**: the base state is cut into
     per-tablet key-range chunks, each chunk is MERGEd and checkpointed
@@ -79,10 +80,20 @@ def run_snapshot(
     that already push the chunk predicate down).
 
     ``max_chunks`` bounds the number of chunks processed this call (the
-    kill switch the resume test uses). Returns chunks processed."""
+    kill switch the resume test uses). ``metrics`` is an optional
+    ``SnapshotMetrics`` (the MXBean-parity gauges) ticked by this driver
+    loop — chunk row counts reuse the MERGE's observed stats, zero extra
+    jobs. Returns chunks processed."""
     meta = ckpt.meta()
+    table_name = getattr(table, "path", "table")
     if meta.get("snapshot_done"):
+        if metrics is not None:
+            metrics.snapshot_started([table_name])
+            metrics.table_completed(table_name)
+            metrics.snapshot_completed()
         return 0
+    if metrics is not None:
+        metrics.snapshot_started([table_name])
     # align base to the table's current schema (missing columns → NULL)
     for name, typ in table.columns:
         if name not in base.columns:
@@ -123,7 +134,11 @@ def run_snapshot(
             else:
                 rows = src.where((tablet_of == t) & (chunk_of == c))
             env = snapshot_envelopes(rows, n_tablets=n_tablets)
-            table.merge_events(env, batch_id=f"snapshot-t{t}-c{c}")
+            if metrics is not None:
+                metrics.current_chunk(f"t{t}-c{c}", (t, c), (t, c))
+            mstats = table.merge_events(env, batch_id=f"snapshot-t{t}-c{c}")
+            if metrics is not None:
+                metrics.rows_scanned(table_name, mstats.upserted)
             done.add((t, c))
             done_per_tablet[t] = done_per_tablet.get(t, 0) + 1
             ckpt.commit(
@@ -132,6 +147,9 @@ def run_snapshot(
             )
             processed += 1
     ckpt.commit([], meta={"snapshot_done": True})
+    if metrics is not None:
+        metrics.table_completed(table_name)
+        metrics.snapshot_completed()
     return processed
 
 

@@ -92,3 +92,46 @@ def test_snapshot_staged_chunks(spark, tmp_path):
     )
     assert n2 == 2 and ck.meta()["snapshot_done"]
     assert len(_state(t)) == 120
+
+
+def test_snapshot_metrics_gauges(spark, tmp_path):
+    """SnapshotMetrics mirrors the snapshot MXBean
+    (``YugabyteDBSnapshotPartitionMetrics.java:29-124``): running →
+    completed across a kill/resume, per-table rows scanned equals the
+    base row count exactly once (no chunk double-count), chunk window
+    exposed."""
+    from debezium_connector_yugabytedb_1_spark.operators.metrics import (
+        SnapshotMetrics,
+    )
+
+    base = _base(spark)
+    t = LakeTable(spark, str(tmp_path / "lake_m"), n_buckets=4)
+    t.init(COLS)
+    ck = CheckpointStore(spark, str(tmp_path / "ckpt_m"))
+    sm = SnapshotMetrics()
+    run_snapshot(
+        base, t, ck, n_tablets=4, chunks_per_tablet=2, max_chunks=3, metrics=sm
+    )
+    mid = sm.snapshot()
+    assert mid["SnapshotRunning"] and not mid["SnapshotCompleted"]
+    assert mid["RemainingTableCount"] == 1 and mid["TotalTableCount"] == 1
+    assert mid["ChunkId"] is not None
+    assert 0 < sum(mid["RowsScanned"].values()) < 240
+
+    run_snapshot(base, t, ck, n_tablets=4, chunks_per_tablet=2, metrics=sm)
+    done = sm.snapshot()
+    assert done["SnapshotCompleted"] and not done["SnapshotRunning"]
+    assert done["RemainingTableCount"] == 0
+    assert sum(done["RowsScanned"].values()) == 240  # each chunk exactly once
+    assert set(done) >= {
+        "TotalTableCount", "RemainingTableCount", "SnapshotRunning",
+        "SnapshotCompleted", "SnapshotAborted", "SnapshotDurationInSeconds",
+        "CapturedTables", "RowsScanned", "ChunkId", "ChunkFrom", "ChunkTo",
+    }
+    # aborted path flips the right flags
+    sm2 = SnapshotMetrics()
+    sm2.snapshot_started(["t"], wallclock_ms=1000)
+    sm2.snapshot_aborted(wallclock_ms=4000)
+    aborted = sm2.snapshot()
+    assert aborted["SnapshotAborted"] and not aborted["SnapshotCompleted"]
+    assert aborted["SnapshotDurationInSeconds"] == 3
