@@ -45,6 +45,11 @@ BENCH_QUERIES = [
     "text_quality",
     "text_langid",
     "multimodal_meta",
+    # round 5 additions: the CQL converter family (pure Catalyst) and the
+    # persisted incremental dedup index (the 100 TB ingest-dedup path —
+    # benched so its cost is a recorded trend, not a claim)
+    "cdc_cql_typed_decode",
+    "dedup_incremental_index",
 ]
 
 
