@@ -498,6 +498,34 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5, max_df=256)
 
 
+def q_ann_ivf_index(spark, sf_dir):
+    """Rows-only check: the persisted IVF-Flat index — train once, ingest
+    the embeddings table in two increments, query with partition-pruned
+    list reads. Equivalence with one-shot build and the recall gate are
+    pytest-asserted; centroid assignment is engine-specific, no SQL oracle."""
+    import shutil
+    import tempfile
+
+    from debezium_connector_yugabytedb_1_spark.operators.similarity import IvfIndex
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    path = tempfile.mkdtemp(prefix="ivfidx_query_")
+    try:
+        idx = IvfIndex(spark, path, n_lists=8, n_parts=4)
+        idx.train(emb)
+        idx.add(emb.where(F.pmod(F.col("vec_id"), F.lit(2)) == 0))
+        idx.add(emb.where(F.pmod(F.col("vec_id"), F.lit(2)) == 1))
+        out = (
+            idx.query(emb.where(F.col("vec_id") < 20), k=5, nprobe=4)
+            .select("query_id", "neighbor_id", "rank")
+            .orderBy("query_id", "rank")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return out
+
+
 def q_dedup_incremental_index(spark, sf_dir):
     """Rows-only check: the persisted incremental MinHash-LSH index.
     Ingest the documents table in two batches through ``MinHashIndex.add``
@@ -881,6 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_force_topk": q_ann_brute_force_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_index": q_ann_ivf_index,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,

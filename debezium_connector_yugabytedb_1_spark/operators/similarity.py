@@ -279,3 +279,265 @@ def embedding_near_dup_pairs(
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+class IvfIndex:
+    """Persisted IVF-Flat index — the ANN complement of ``MinHashIndex``:
+    a training-data pipeline embeds documents continuously, and re-running
+    ``ivf_topk`` (train + assign the whole corpus per query batch) is
+    O(corpus) per increment. Here the coarse quantizer is trained ONCE,
+    vectors are stored assigned to their inverted list, and a query reads
+    only the list partitions it probes:
+
+    - ``<path>/centroids.parquet``: the (n_lists, dim) quantizer, written
+      driver-side (FAISS-style: trained on a bounded sample, frozen —
+      rotating centroids would silently invalidate every stored
+      assignment, so training twice raises).
+    - ``<path>/vectors/batch=<n>/lkey=<v>``: (vec_id, list_id, emb) rows,
+      partitioned by ``lkey = list_id % n_parts``. A query probing
+      ``nprobe`` lists reads only those lkey partitions — bytes read per
+      query ∝ nprobe/n_lists of the corpus, never the corpus.
+    - ``manifest.json``: the same crash-safe batch commit protocol as
+      ``MinHashIndex`` (write batch dirs, then atomically commit the
+      batch id; orphans from a crashed add() are overwritten on retry).
+
+    ``compact()`` folds all committed batches into one so directory
+    listings stay flat on long-running ingest. Per-query scan stats land
+    in ``last_query_stats`` — the pruning is tested, not claimed.
+    Re-adding a vec_id is tolerated (queries dedupe candidates), matching
+    the idempotent-redelivery stance of the CDC sink rather than
+    MinHashIndex's strictness: ANN results are rank sets, not pair
+    multisets.
+    """
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        n_lists: int = 16,
+        n_parts: int = 16,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        seed: int = 7,
+    ):
+        import json
+        import os
+
+        if n_lists < 1 or n_parts < 1:
+            raise ValueError(f"n_lists/n_parts must be >= 1, got {n_lists}/{n_parts}")
+        self.spark = spark
+        self.path = path
+        self.n_lists, self.n_parts = n_lists, n_parts
+        self.id_col, self.vec_col = id_col, vec_col
+        self.seed = seed
+        self.last_query_stats: dict = {}
+        os.makedirs(path, exist_ok=True)
+        self._vectors = os.path.join(path, "vectors")
+        geo = {"n_lists": n_lists, "n_parts": n_parts, "seed": seed}
+        pfile = os.path.join(path, "params.json")
+        if os.path.exists(pfile):
+            with open(pfile) as f:
+                stored = json.load(f)
+            if {k: stored[k] for k in geo} != geo:
+                raise ValueError(
+                    f"index at {path} was built with {stored}, reopened with "
+                    f"{geo}; geometry is immutable per index"
+                )
+        else:
+            tmp = pfile + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(geo, f)
+            os.replace(tmp, pfile)
+
+    # -- shared batch-commit protocol (see MinHashIndex) ------------------
+    def _manifest(self) -> list[int]:
+        import json
+        import os
+
+        p = os.path.join(self.path, "manifest.json")
+        if not os.path.exists(p):
+            return []
+        with open(p) as f:
+            return json.load(f)["batches"]
+
+    def _commit_manifest(self, batches: list[int]) -> None:
+        import json
+        import os
+
+        p = os.path.join(self.path, "manifest.json")
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batches": batches}, f)
+        os.replace(tmp, p)
+
+    @property
+    def trained(self) -> bool:
+        import os
+
+        return os.path.exists(os.path.join(self.path, "centroids.parquet"))
+
+    def _centroids(self) -> np.ndarray:
+        import os
+
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(os.path.join(self.path, "centroids.parquet"))
+        return np.stack([np.asarray(v, dtype=np.float64) for v in t["c"].to_pylist()])
+
+    def train(self, corpus: DataFrame, sample: int = 20_000, iters: int = 8) -> None:
+        """Fit and freeze the coarse quantizer (``ivf_train`` — Lloyd on a
+        bounded driver sample, seeded/deterministic)."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if self.trained:
+            raise ValueError(
+                f"index at {self.path} is already trained; centroids are "
+                "frozen (stored assignments depend on them)"
+            )
+        cent = ivf_train(
+            corpus, self.n_lists, self.vec_col, sample=sample, iters=iters,
+            seed=self.seed,
+        )
+        tmp = os.path.join(self.path, "centroids.parquet.tmp")
+        pq.write_table(pa.table({"c": [list(map(float, row)) for row in cent]}), tmp)
+        os.replace(tmp, os.path.join(self.path, "centroids.parquet"))
+
+    def _assigned(self, df: DataFrame) -> DataFrame:
+        """(id, list_id, emb) with the stored quantizer — one vectorized
+        matmul per Arrow batch, vector carried through (no join-back)."""
+        cent = self._centroids()
+        cn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+        id_col, vec_col = self.id_col, self.vec_col
+
+        def assign(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                mat = np.stack(pdf[vec_col].map(np.asarray).values).astype(np.float64)
+                mat = mat / np.maximum(
+                    np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+                )
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf[id_col].values,
+                        "list_id": (mat @ cn.T).argmax(axis=1).astype(np.int64),
+                        "emb": pdf[vec_col].values,
+                    }
+                )
+
+        return df.select(id_col, vec_col).mapInPandas(
+            assign, schema="vec_id long, list_id long, emb array<float>"
+        )
+
+    def add(self, batch: DataFrame) -> int:
+        """Assign and persist one increment; O(batch) work, one write.
+        Returns the committed batch id."""
+        import os
+
+        if not self.trained:
+            raise ValueError("train() the quantizer before add()")
+        n = max(self._manifest(), default=-1) + 1
+        (
+            self._assigned(batch)
+            .withColumn("lkey", F.pmod(F.col("list_id"), F.lit(self.n_parts)).cast("int"))
+            .repartition("lkey")
+            .write.partitionBy("lkey")
+            .mode("overwrite")
+            .parquet(os.path.join(self._vectors, f"batch={n}"))
+        )
+        self._commit_manifest(self._manifest() + [n])
+        return n
+
+    def _pruned_read(self, wanted: set[int]):
+        import os
+
+        sel, total = [], 0
+        for n in self._manifest():
+            bdir = os.path.join(self._vectors, f"batch={n}")
+            if not os.path.isdir(bdir):
+                continue
+            for entry in os.listdir(bdir):
+                if not entry.startswith("lkey="):
+                    continue
+                total += 1
+                if int(entry.split("=", 1)[1]) in wanted:
+                    sel.append(os.path.join(bdir, entry))
+        if not sel:
+            return None, 0, total
+        df = self.spark.read.option("basePath", self._vectors).parquet(*sel)
+        return df, len(sel), total
+
+    def query(self, queries: DataFrame, k: int = 5, nprobe: int = 4) -> DataFrame:
+        """IVF-Flat search against the store: probe each query's ``nprobe``
+        nearest lists, read ONLY those list partitions, exact-cosine rerank
+        within them. Output (query_id, neighbor_id, rank, cosine); empty
+        result if nothing is indexed. Self-matches (same id) excluded."""
+        cent = self._centroids()
+        q_probe = ivf_assign(
+            queries, cent, self.id_col, self.vec_col, nprobe=min(nprobe, self.n_lists),
+            out_id="query_id",
+        ).localCheckpoint()
+        # O(Q * nprobe) driver rows: queries are small by regime (ANN serves
+        # point lookups; bulk all-pairs work is embedding_near_dup_pairs)
+        probed = {r["list_id"] for r in q_probe.select("list_id").distinct().collect()}
+        stored, nread, ntotal = self._pruned_read(
+            {l % self.n_parts for l in probed}
+        )
+        self.last_query_stats = {
+            "lists_probed": len(probed),
+            "partitions_read": nread,
+            "partitions_total": ntotal,
+        }
+        out_schema = "query_id long, neighbor_id long, rank int, cosine double"
+        if stored is None:
+            return self.spark.createDataFrame([], out_schema)
+        cand = (
+            q_probe.join(stored.where(F.col("list_id").isin(*probed)), "list_id")
+            .where(F.col("query_id") != F.col("vec_id"))
+            # re-added vec_ids are deduped here (same id, same vector)
+            .dropDuplicates(["query_id", "vec_id"])
+        )
+        q = queries.select(
+            F.col(self.id_col).alias("query_id"), F.col(self.vec_col).alias("q_vec")
+        )
+        scored = cand.join(F.broadcast(q), "query_id").withColumn(
+            "cosine", cosine_similarity(F.col("q_vec"), F.col("emb"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("vec_id").asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(
+                "query_id", F.col("vec_id").alias("neighbor_id"), "rank", "cosine"
+            )
+        )
+
+    def compact(self) -> int:
+        """Fold every committed batch into one (listing stays O(n_parts) on
+        long-running ingest). Returns the new batch id."""
+        import os
+        import shutil
+
+        old = self._manifest()
+        if not old:
+            return -1
+        stored, _, _ = self._pruned_read(set(range(self.n_parts)))
+        n = max(old) + 1
+        (
+            stored.withColumn(
+                "lkey", F.pmod(F.col("list_id"), F.lit(self.n_parts)).cast("int")
+            )
+            .repartition("lkey")
+            .write.partitionBy("lkey")
+            .mode("overwrite")
+            .parquet(os.path.join(self._vectors, f"batch={n}"))
+        )
+        self._commit_manifest([n])
+        for o in old:
+            shutil.rmtree(os.path.join(self._vectors, f"batch={o}"), ignore_errors=True)
+        return n

@@ -1,0 +1,112 @@
+"""Persisted IVF-Flat index (`IvfIndex`) — the incremental ANN store.
+
+Asserts: recall vs exact brute force, chunked-adds ≡ one-shot
+equivalence, partition-pruned query reads (tested via scan stats, not
+claimed), frozen-quantizer + geometry guards, compaction invariance,
+and crash-safe manifest behavior (orphan batch dirs invisible).
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from debezium_connector_yugabytedb_1_spark.operators.similarity import (
+    IvfIndex,
+    brute_force_topk,
+)
+
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+def _emb(spark):
+    return spark.read.parquet(EMB).select("vec_id", "embedding")
+
+
+def _res(df):
+    return sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"]) for r in df.collect()
+    )
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ivf") / "idx")
+    idx = IvfIndex(spark, path, n_lists=8, n_parts=4)
+    emb = _emb(spark)
+    idx.train(emb)
+    idx.add(emb)
+    return idx
+
+
+def test_recall_vs_brute_force(spark, built):
+    emb = _emb(spark)
+    queries = emb.limit(20)
+    exact = {(q, n) for (q, n, _r) in _res(brute_force_topk(emb, queries, k=5))}
+    # near-uniform synthetic embeddings have no cluster structure, so
+    # recall tracks the probed corpus fraction (~5/8 here); clustered real
+    # corpora recall far above it at the same nprobe
+    approx = {(q, n) for (q, n, _r) in _res(built.query(queries, k=5, nprobe=5))}
+    assert len(approx & exact) / len(exact) >= 0.8
+
+
+def test_query_reads_only_probed_partitions(spark, built):
+    queries = _emb(spark).limit(2)
+    built.query(queries, k=3, nprobe=1)
+    st = built.last_query_stats
+    assert 0 < st["partitions_read"] < st["partitions_total"]
+    assert st["lists_probed"] <= 2
+
+
+def test_chunked_adds_equal_one_shot(spark, tmp_path):
+    emb = _emb(spark)
+    one = IvfIndex(spark, str(tmp_path / "one"), n_lists=8, n_parts=4)
+    one.train(emb)
+    one.add(emb)
+    chunked = IvfIndex(spark, str(tmp_path / "chk"), n_lists=8, n_parts=4)
+    chunked.train(emb)
+    chunked.add(emb.where(F.col("vec_id") % 3 == 0))
+    chunked.add(emb.where(F.col("vec_id") % 3 == 1))
+    chunked.add(emb.where(F.col("vec_id") % 3 == 2))
+    queries = emb.limit(10)
+    assert _res(chunked.query(queries, k=5, nprobe=4)) == _res(
+        one.query(queries, k=5, nprobe=4)
+    )
+    # compaction folds 3 batches into 1 without changing results
+    before = _res(chunked.query(queries, k=5, nprobe=4))
+    chunked.compact()
+    assert chunked._manifest() == [3]
+    assert _res(chunked.query(queries, k=5, nprobe=4)) == before
+
+
+def test_guards(spark, tmp_path, built):
+    emb = _emb(spark)
+    idx = IvfIndex(spark, str(tmp_path / "g"), n_lists=8, n_parts=4)
+    with pytest.raises(ValueError, match="train"):
+        idx.add(emb)
+    idx.train(emb)
+    with pytest.raises(ValueError, match="frozen"):
+        idx.train(emb)
+    with pytest.raises(ValueError, match="immutable"):
+        IvfIndex(spark, built.path, n_lists=16, n_parts=4)
+    with pytest.raises(ValueError, match=">= 1"):
+        IvfIndex(spark, str(tmp_path / "g2"), n_lists=0)
+
+
+def test_empty_index_and_orphan_batch_invisible(spark, tmp_path):
+    emb = _emb(spark)
+    idx = IvfIndex(spark, str(tmp_path / "e"), n_lists=8, n_parts=4)
+    idx.train(emb)
+    assert idx.query(emb.limit(3), k=5).count() == 0  # nothing committed
+    # simulate a crashed add(): batch dir exists, manifest never committed
+    (
+        idx._assigned(emb)
+        .withColumn("lkey", F.pmod(F.col("list_id"), F.lit(4)).cast("int"))
+        .write.partitionBy("lkey")
+        .mode("overwrite")
+        .parquet(os.path.join(idx._vectors, "batch=0"))
+    )
+    assert idx.query(emb.limit(3), k=5).count() == 0  # orphan stays invisible
+    idx.add(emb)  # retried add reuses/overwrites the orphan slot
+    assert idx._manifest() == [0]
+    assert idx.query(emb.limit(3), k=5).count() > 0
