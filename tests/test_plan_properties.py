@@ -82,3 +82,17 @@ def test_pg_array_quoting_round_trips_random_strings(spark):
     }
     for i, _lit, elems in cases:
         assert got[i] == elems, f"case {i}: {_lit!r} -> {got[i]!r} != {elems!r}"
+
+
+def test_cql_typed_decode_plan_is_pure_catalyst(spark):
+    """The CQL converter family (r5) must stay inside whole-stage codegen:
+    the whole 15-column decode is one projection — no Python eval nodes,
+    no UDFs, no shuffle."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.q_cdc_cql_typed_decode(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Exchange" not in plan
+    # codegen'd single stage ("*(1)" prefix) + the id filter reached the scan
+    assert "*(1) Project" in plan
+    assert "PushedFilters: [IsNotNull(event_id), LessThan(event_id,2000)]" in plan
