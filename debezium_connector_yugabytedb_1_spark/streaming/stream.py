@@ -54,6 +54,7 @@ def apply_batch(
     ckpt: CheckpointStore,
     gate=None,
     expire_keep: int | None = 64,
+    task_metrics=None,
 ) -> None:
     """The foreachBatch body — identical operator chain to CdcPipeline
     (minus index windowing, which Spark's source handles).
@@ -70,6 +71,11 @@ def apply_batch(
     the batch pipeline."""
     import json
 
+    if task_metrics is not None:
+        # MXBean-parity gauges (operators.metrics.TaskMetrics) — position is
+        # carried by the checkpoint commits below, so the meter skips it
+        # here rather than paying a second offsets collect per trigger
+        task_metrics.update(batch)
     if gate is not None:
         # consistent mode: offsets are committed for the CONSUMED batch,
         # but only AFTER gate.process has persisted the held rows — the
@@ -124,6 +130,7 @@ def run_streaming(
     available_now: bool = True,
     gate=None,
     expire_keep: int | None = 64,
+    task_metrics=None,
 ) -> None:
     """Run the streaming pipeline until the available data is exhausted
     (availableNow) — the bounded-test mode; drop the trigger for continuous
@@ -132,7 +139,10 @@ def run_streaming(
     log ⇒ commit-order release is trivially satisfied for the tail)."""
     stream = read_event_stream(spark, events_path)
     writer = stream.writeStream.foreachBatch(
-        lambda df, bid: apply_batch(df, bid, table, ckpt, gate=gate, expire_keep=expire_keep)
+        lambda df, bid: apply_batch(
+            df, bid, table, ckpt, gate=gate, expire_keep=expire_keep,
+            task_metrics=task_metrics,
+        )
     ).option("checkpointLocation", checkpoint_location)
     if available_now:
         q = writer.trigger(availableNow=True).start()

@@ -126,3 +126,28 @@ def test_pipeline_wiring_accumulates_and_positions(spark, corpus_path, tmp_path)
     assert pos and all(":" in v for v in pos.values())
     committed = {t for (t, _term, _idx, _w, _p) in ck.load_rows()}
     assert set(pos) == committed
+
+
+def test_streaming_front_end_ticks_task_metrics(spark, corpus_path, tmp_path):
+    from debezium_connector_yugabytedb_1_spark.lake import LakeTable
+    from debezium_connector_yugabytedb_1_spark.operators.checkpoint import (
+        CheckpointStore,
+    )
+    from debezium_connector_yugabytedb_1_spark.streaming.stream import run_streaming
+
+    t = LakeTable(spark, str(tmp_path / "slake"), n_buckets=4)
+    t.init([("commit", "string"), ("lang", "string"), ("content", "string")])
+    ck = CheckpointStore(spark, str(tmp_path / "sck"))
+    tm = TaskMetrics()
+    run_streaming(
+        spark, corpus_path, t, ck, str(tmp_path / "scp"), task_metrics=tm
+    )
+    snap = tm.snapshot()
+    ev = spark.read.parquet(corpus_path)
+    # streaming triggers see the raw wire rows (DDL cut happens inside the
+    # trigger AFTER the meter), so the streaming meter counts every row
+    assert snap["TotalNumberOfEventsSeen"] == ev.count()
+    assert snap["TotalNumberOfCreateEventsSeen"] == ev.where(
+        F.col("op") == "c"
+    ).count()
+    assert snap["LastEvent"] is not None
