@@ -526,6 +526,26 @@ def q_ann_ivf_index(spark, sf_dir):
     return out
 
 
+def q_text_line_dedup(spark, sf_dir):
+    """C4-style inter-document line dedup: documents are lineified into
+    5-word lines (deterministically, same formula as the oracle), then a
+    line repeated anywhere in the corpus survives only at its globally
+    first (doc_id, position) occurrence and texts are rebuilt."""
+    from debezium_connector_yugabytedb_1_spark.operators.text import line_dedup
+
+    W = 5
+    ws = F.split(F.col("text"), " ")
+    lines_arr = F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size(ws) / F.lit(W)).cast("int") - 1),
+        lambda g: F.array_join(F.slice(ws, g * W + 1, W), " "),
+    )
+    ml = _docs(spark, sf_dir).select(
+        "doc_id", F.array_join(lines_arr, "\n").alias("text")
+    )
+    out = line_dedup(ml, min_words=2)
+    return out.select("doc_id", "text_dedup", "n_lines", "n_kept")
+
+
 def q_dedup_incremental_index(spark, sf_dir):
     """Rows-only check: the persisted incremental MinHash-LSH index.
     Ingest the documents table in two batches through ``MinHashIndex.add``
@@ -905,6 +925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups": q_dedup_groups,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_incremental_index": q_dedup_incremental_index,
+        "text_line_dedup": q_text_line_dedup,
         "dedup_simhash": q_dedup_simhash,
         "ann_brute_force_topk": q_ann_brute_force_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1014,6 +1035,23 @@ def oracle_sql() -> dict[str, str]:
               tu::BIGINT AS ts_us,
               (tu * 1000)::BIGINT AS ts_ns
             FROM base
+        """,
+        "text_line_dedup": """
+            WITH s AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            l AS (SELECT doc_id, u.grp AS pos, u.line AS line FROM (
+              SELECT doc_id, unnest(list_transform(range(0, CAST(ceil(len(ws)/5.0) AS BIGINT)),
+                g -> struct_pack(grp := g, line := array_to_string(list_slice(ws, g*5+1, g*5+5), ' ')))) AS u
+              FROM s)),
+            r AS (SELECT *,
+              row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn,
+              len(string_split(trim(line), ' ')) >= 2 AS eligible
+              FROM l)
+            SELECT doc_id,
+              coalesce(string_agg(CASE WHEN rn = 1 OR NOT eligible THEN line END,
+                                  chr(10) ORDER BY pos), '') AS text_dedup,
+              count(*) AS n_lines,
+              sum(CASE WHEN rn = 1 OR NOT eligible THEN 1 ELSE 0 END)::BIGINT AS n_kept
+            FROM r GROUP BY doc_id
         """,
         "cdc_lww_dedup": f"""
             WITH feed AS ({feed})

@@ -82,3 +82,54 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
         rolling_fingerprint(text_col).alias("fingerprint"),
         F.md5(F.col(text_col)).alias("raw_md5"),
     )
+
+
+def line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_words: int = 2,
+) -> DataFrame:
+    """Inter-document line deduplication — the C4-style corpus cleanup:
+    a line repeated anywhere in the corpus survives only at its globally
+    FIRST occurrence (ordered by (doc id, line position)); every later
+    copy is dropped and each document's text is rebuilt from its kept
+    lines. Boilerplate (headers, license banners, nav text) is exactly
+    this kind of cross-document repetition.
+
+    Lines with fewer than ``min_words`` whitespace words are exempt
+    (always kept): short/blank lines are document structure, not
+    boilerplate, and deduping them would glue unrelated paragraphs.
+
+    One explode + one (line)-keyed window + one per-doc aggregation —
+    pure JVM, shuffles on (line) then (id). At 100 TB the (line) shuffle
+    is the dominant cost and is the same shape every published line-dedup
+    pipeline pays; salting is unnecessary because line cardinality is
+    huge and the window only rank-1-filters.
+
+    Output: (id, text_dedup, n_lines, n_kept) — ``text_dedup`` is ''
+    for a document whose every line lost.
+    """
+    from pyspark.sql import Window
+
+    lines = docs.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line")
+    )
+    w = Window.partitionBy("line").orderBy(F.col(id_col).asc(), F.col("pos").asc())
+    eligible = F.size(F.split(F.trim(F.col("line")), r"\s+")) >= min_words
+    keep = (F.row_number().over(w) == 1) | ~eligible
+    kept = lines.withColumn("keep", keep)
+    return kept.groupBy(id_col).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("keep"), F.struct("pos", "line")))
+                ),
+                lambda x: x["line"],
+            ),
+        ).alias("text_dedup"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+    )
