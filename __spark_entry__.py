@@ -546,6 +546,30 @@ def q_text_line_dedup(spark, sf_dir):
     return out.select("doc_id", "text_dedup", "n_lines", "n_kept")
 
 
+def q_text_mask_pii(spark, sf_dir):
+    """PII scrubbing with synthesized teeth: inject deterministic emails /
+    URLs / phone numbers / IPv4 literals into each document (same formula
+    as the oracle), mask, and report per-kind counts."""
+    from debezium_connector_yugabytedb_1_spark.operators.text import mask_pii
+
+    i = F.col("doc_id")
+    inject = F.concat(
+        F.substring(F.col("text"), 1, 40),
+        F.lit(" user"), i.cast("string"), F.lit("@ex"), F.pmod(i, F.lit(10)).cast("string"),
+        F.lit(".com visit https://site"), i.cast("string"), F.lit(".org/p?q="), i.cast("string"),
+        F.lit(" call 555-"), F.lpad(F.pmod(i, F.lit(900)).cast("string") , 3, "0"),
+        F.lit("-"), F.lpad(F.pmod(i * 7, F.lit(10000)).cast("string"), 4, "0"),
+        F.lit(" from 10.0."), F.pmod(i, F.lit(256)).cast("string"),
+        F.lit("."), F.pmod(i * 3, F.lit(256)).cast("string"),
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", inject.alias("text"))
+    out = mask_pii(docs)
+    return out.select(
+        "doc_id", "text_masked",
+        *[F.col(c).cast("long").alias(c) for c in ("n_email", "n_url", "n_phone", "n_ip")],
+    )
+
+
 def q_dedup_incremental_index(spark, sf_dir):
     """Rows-only check: the persisted incremental MinHash-LSH index.
     Ingest the documents table in two batches through ``MinHashIndex.add``
@@ -926,6 +950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_incremental_index": q_dedup_incremental_index,
         "text_line_dedup": q_text_line_dedup,
+        "text_mask_pii": q_text_mask_pii,
         "dedup_simhash": q_dedup_simhash,
         "ann_brute_force_topk": q_ann_brute_force_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1035,6 +1060,28 @@ def oracle_sql() -> dict[str, str]:
               tu::BIGINT AS ts_us,
               (tu * 1000)::BIGINT AS ts_ns
             FROM base
+        """,
+        "text_mask_pii": """
+            WITH d AS (
+              SELECT doc_id,
+                substr(text, 1, 40)
+                || ' user' || doc_id || '@ex' || (doc_id % 10)
+                || '.com visit https://site' || doc_id || '.org/p?q=' || doc_id
+                || ' call 555-' || lpad((doc_id % 900)::VARCHAR, 3, '0')
+                || '-' || lpad(((doc_id * 7) % 10000)::VARCHAR, 4, '0')
+                || ' from 10.0.' || (doc_id % 256) || '.' || ((doc_id * 3) % 256) AS text
+              FROM documents)
+            SELECT doc_id,
+              regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+                '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                'https?://[^\\s]+', '<URL>', 'g'),
+                '(\\(\\d{3}\\)\\s?|\\d{3}-)\\d{3}-\\d{4}', '<PHONE>', 'g'),
+                '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS text_masked,
+              len(regexp_extract_all(text, '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+              len(regexp_extract_all(text, 'https?://[^\\s]+'))::BIGINT AS n_url,
+              len(regexp_extract_all(text, '(\\(\\d{3}\\)\\s?|\\d{3}-)\\d{3}-\\d{4}'))::BIGINT AS n_phone,
+              len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))::BIGINT AS n_ip
+            FROM d
         """,
         "text_line_dedup": """
             WITH s AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

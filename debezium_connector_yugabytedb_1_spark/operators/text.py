@@ -133,3 +133,43 @@ def line_dedup(
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(F.col("keep").cast("long")).alias("n_kept"),
     )
+
+
+#: PII masking patterns, applied IN ORDER (email first so an address inside
+#: a URL is normalized before the URL mask swallows the token; each pattern
+#: is valid in both Java regex and RE2, so SQL oracles reproduce the op
+#: exactly). (kind, pattern, replacement).
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("phone", r"(\(\d{3}\)\s?|\d{3}-)\d{3}-\d{4}", "<PHONE>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def mask_pii(
+    docs: DataFrame,
+    text_col: str = "text",
+    kinds: tuple[str, ...] = ("email", "url", "phone", "ip"),
+) -> DataFrame:
+    """PII scrubbing for training corpora: mask emails / URLs / NANP phone
+    numbers / IPv4 literals with typed placeholders and report per-kind
+    match counts (counted on the ORIGINAL text, so an email inside a URL
+    ticks both counters — the audit trail records what was present, the
+    masked text records what survived).
+
+    Pure JVM ``regexp_replace``/``regexp_count`` chain — one projection,
+    codegen, no shuffle; the patterns are deliberately RE2-compatible so
+    the DuckDB oracle runs them verbatim.
+    """
+    sel = [p for p in PII_PATTERNS if p[0] in kinds]
+    unknown = set(kinds) - {k for k, _, _ in PII_PATTERNS}
+    if unknown:
+        raise ValueError(f"unknown PII kinds: {sorted(unknown)}")
+    masked = F.col(text_col)
+    counts = []
+    for kind, pat, repl in sel:
+        counts.append(F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{kind}"))
+        masked = F.regexp_replace(masked, pat, repl)
+    keep = [c for c in docs.columns if c != text_col]
+    return docs.select(*keep, masked.alias("text_masked"), *counts)
