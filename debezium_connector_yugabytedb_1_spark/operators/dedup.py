@@ -197,44 +197,6 @@ def _buckets_from_sigs(per_doc: DataFrame, n_hashes: int, bands: int) -> DataFra
     return per_doc.select("doc_id", F.posexplode(band_buckets).alias("band", "bucket"))
 
 
-def _hashed_shingle_sets(docs: DataFrame, text_col: str, k: int) -> DataFrame:
-    """Per-doc distinct shingle sets, hashed to 64-bit longs at the scan:
-    the collected sets, the signature transforms, and the verify's
-    array_intersect all run over 8-byte longs instead of multi-word strings
-    (same set sizes and Jaccard modulo 2^-64 collisions). localCheckpointed:
-    per-doc-bounded state, read by signatures AND verify."""
-    sh = _spread(docs).select(
-        "doc_id",
-        F.explode(
-            F.transform(word_shingles(text_col, k), lambda s: F.xxhash64(s))
-        ).alias("shingle"),
-    )
-    return (
-        sh.groupBy("doc_id")
-        .agg(F.collect_set("shingle").alias("sh"))
-        .localCheckpoint()
-    )
-
-
-def _banded_buckets(per_doc: DataFrame, n_hashes: int, bands: int) -> DataFrame:
-    """(doc_id, band, bucket) rows: minhash signatures as pure projections
-    over the cached sets (``array_min(transform(...))`` — no extra
-    shuffle), banded into ``bands`` xxhash64 buckets."""
-    rows = n_hashes // bands
-    sig_cols = [
-        F.array_min(
-            F.transform("sh", lambda s: F.xxhash64(s, F.lit(i)))
-        ).alias(f"h{i}")
-        for i in range(n_hashes)
-    ]
-    sig = per_doc.select("doc_id", *sig_cols)
-    band_buckets = F.array(
-        *[
-            F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)])
-            for b in range(bands)
-        ]
-    )
-    return sig.select("doc_id", F.posexplode(band_buckets).alias("band", "bucket"))
 
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text", k: int = 3,
@@ -628,30 +590,16 @@ class MinHashIndex:
                 json.dump(geo, f)
             os.replace(tmp, pfile)
 
-    # -- batch commit protocol: each add() writes its postings and sets to
-    # batch=<n> subdirectories, then atomically commits <n> to
-    # manifest.json (os.replace). Readers see only committed batches, so a
-    # crash between the two writes leaves orphan dirs that the retried
-    # add() simply overwrites — never a postings/sets mismatch.
+    # -- batch commit protocol (shared with IvfIndex): see operators/_store
     def _manifest(self) -> list[int]:
-        import json
-        import os
+        from ._store import read_manifest
 
-        p = os.path.join(self.path, "manifest.json")
-        if not os.path.exists(p):
-            return []
-        with open(p) as f:
-            return json.load(f)["batches"]
+        return read_manifest(self.path)
 
     def _commit_manifest(self, batches: list[int]) -> None:
-        import json
-        import os
+        from ._store import commit_manifest
 
-        p = os.path.join(self.path, "manifest.json")
-        tmp = p + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"batches": batches}, f)
-        os.replace(tmp, p)
+        commit_manifest(self.path, batches)
 
     def _pkey(self):
         return F.pmod(F.xxhash64("band", "bucket"), F.lit(self.n_posting_parts)).cast(
@@ -665,30 +613,10 @@ class MinHashIndex:
         self, root: str, key: str, wanted: set[int]
     ) -> tuple[DataFrame | None, int, int]:
         """Read ONLY the ``key=<v>`` partition dirs of committed batches
-        whose v is in ``wanted``. Returns (df|None, dirs_read, dirs_total).
+        whose v is in ``wanted`` (``_store.pruned_partition_read``)."""
+        from ._store import pruned_partition_read
 
-        The driver-side listing is one directory list per committed batch —
-        O(#batches) metadata calls, bytes read ∝ matching partitions only
-        (this IS the pruning; no planner cooperation required). At cluster
-        scale the same listing goes through the object-store FS client, and
-        ``compact()`` keeps #batches small."""
-        import os
-
-        sel, total = [], 0
-        for n in self._manifest():
-            bdir = os.path.join(root, f"batch={n}")
-            if not os.path.isdir(bdir):
-                continue
-            for entry in os.listdir(bdir):
-                if not entry.startswith(f"{key}="):
-                    continue
-                total += 1
-                if int(entry.split("=", 1)[1]) in wanted:
-                    sel.append(os.path.join(bdir, entry))
-        if not sel:
-            return None, 0, total
-        df = self.spark.read.option("basePath", root).parquet(*sel)
-        return df, len(sel), total
+        return pruned_partition_read(self.spark, root, key, wanted, self._manifest())
 
     def add(self, docs: DataFrame) -> DataFrame:
         import os

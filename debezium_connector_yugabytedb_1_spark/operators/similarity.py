@@ -349,26 +349,16 @@ class IvfIndex:
                 json.dump(geo, f)
             os.replace(tmp, pfile)
 
-    # -- shared batch-commit protocol (see MinHashIndex) ------------------
+    # -- batch commit protocol (shared with MinHashIndex): operators/_store
     def _manifest(self) -> list[int]:
-        import json
-        import os
+        from ._store import read_manifest
 
-        p = os.path.join(self.path, "manifest.json")
-        if not os.path.exists(p):
-            return []
-        with open(p) as f:
-            return json.load(f)["batches"]
+        return read_manifest(self.path)
 
     def _commit_manifest(self, batches: list[int]) -> None:
-        import json
-        import os
+        from ._store import commit_manifest
 
-        p = os.path.join(self.path, "manifest.json")
-        tmp = p + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"batches": batches}, f)
-        os.replace(tmp, p)
+        commit_manifest(self.path, batches)
 
     @property
     def trained(self) -> bool:
@@ -452,29 +442,19 @@ class IvfIndex:
         return n
 
     def _pruned_read(self, wanted: set[int]):
-        import os
+        from ._store import pruned_partition_read
 
-        sel, total = [], 0
-        for n in self._manifest():
-            bdir = os.path.join(self._vectors, f"batch={n}")
-            if not os.path.isdir(bdir):
-                continue
-            for entry in os.listdir(bdir):
-                if not entry.startswith("lkey="):
-                    continue
-                total += 1
-                if int(entry.split("=", 1)[1]) in wanted:
-                    sel.append(os.path.join(bdir, entry))
-        if not sel:
-            return None, 0, total
-        df = self.spark.read.option("basePath", self._vectors).parquet(*sel)
-        return df, len(sel), total
+        return pruned_partition_read(
+            self.spark, self._vectors, "lkey", wanted, self._manifest()
+        )
 
     def query(self, queries: DataFrame, k: int = 5, nprobe: int = 4) -> DataFrame:
         """IVF-Flat search against the store: probe each query's ``nprobe``
         nearest lists, read ONLY those list partitions, exact-cosine rerank
         within them. Output (query_id, neighbor_id, rank, cosine); empty
         result if nothing is indexed. Self-matches (same id) excluded."""
+        if not self.trained:
+            raise ValueError("train() the quantizer before query()")
         cent = self._centroids()
         q_probe = ivf_assign(
             queries, cent, self.id_col, self.vec_col, nprobe=min(nprobe, self.n_lists),
@@ -529,7 +509,11 @@ class IvfIndex:
         stored, _, _ = self._pruned_read(set(range(self.n_parts)))
         n = max(old) + 1
         (
-            stored.withColumn(
+            # project away the read-side partition columns (batch, lkey) —
+            # carrying them bakes a stale `batch` data column into the new
+            # files and every later read logs a shadowed-column conflict
+            stored.select("vec_id", "list_id", "emb")
+            .withColumn(
                 "lkey", F.pmod(F.col("list_id"), F.lit(self.n_parts)).cast("int")
             )
             .repartition("lkey")

@@ -102,11 +102,16 @@ def line_dedup(
     (always kept): short/blank lines are document structure, not
     boilerplate, and deduping them would glue unrelated paragraphs.
 
-    One explode + one (line)-keyed window + one per-doc aggregation —
-    pure JVM, shuffles on (line) then (id). At 100 TB the (line) shuffle
-    is the dominant cost and is the same shape every published line-dedup
-    pipeline pays; salting is unnecessary because line cardinality is
-    huge and the window only rank-1-filters.
+    One explode + one (line)-keyed window over the ELIGIBLE lines only +
+    one per-doc aggregation — pure JVM, shuffles on (line) then (id).
+    At 100 TB the (line) shuffle is the dominant cost and is the same
+    shape every published line-dedup pipeline pays; salting is
+    unnecessary because eligible-line cardinality is huge and the window
+    only rank-1-filters. Exempt (short/blank) lines never enter that
+    shuffle — eligibility is a function of the line text alone, so
+    filtering before the window cannot change any rank, and routing the
+    corpus's billions of identical blank lines into one window partition
+    would otherwise be THE straggler at scale.
 
     Output: (id, text_dedup, n_lines, n_kept) — ``text_dedup`` is ''
     for a document whose every line lost.
@@ -115,11 +120,16 @@ def line_dedup(
 
     lines = docs.select(
         F.col(id_col), F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line")
+    ).withColumn(
+        "eligible", F.size(F.split(F.trim(F.col("line")), r"\s+")) >= min_words
     )
     w = Window.partitionBy("line").orderBy(F.col(id_col).asc(), F.col("pos").asc())
-    eligible = F.size(F.split(F.trim(F.col("line")), r"\s+")) >= min_words
-    keep = (F.row_number().over(w) == 1) | ~eligible
-    kept = lines.withColumn("keep", keep)
+    ranked = (
+        lines.where(F.col("eligible"))
+        .withColumn("keep", F.row_number().over(w) == 1)
+    )
+    exempt = lines.where(~F.col("eligible")).withColumn("keep", F.lit(True))
+    kept = ranked.unionByName(exempt).drop("eligible")
     return kept.groupBy(id_col).agg(
         F.concat_ws(
             sep,

@@ -251,14 +251,9 @@ def test_minhash_index_geometry_pinned_and_crash_safe(spark, tmp_path):
     got = {(r["doc_a"], r["doc_b"]) for r in idx.add(c0).collect()}
     with pytest.raises(ValueError, match="geometry is immutable"):
         MinHashIndex(spark, path, k=4)
-    # simulate a crashed add(): batch dir exists, manifest never updated
-    from debezium_connector_yugabytedb_1_spark.operators.dedup import (
-        _banded_buckets,
-        _hashed_shingle_sets,
-    )
-
-    orphan_sets = _hashed_shingle_sets(c1, "text", 3)
-    _banded_buckets(orphan_sets, 32, 8).write.mode("overwrite").parquet(
+    # simulate a crashed add(): a batch dir exists (any content — readers
+    # never open uncommitted dirs) but the manifest was never updated
+    c1.limit(5).write.mode("overwrite").parquet(
         os.path.join(path, "buckets", "batch=1")
     )  # sets half never written, manifest never committed
     assert idx._manifest() == [0]

@@ -77,6 +77,14 @@ def test_chunked_adds_equal_one_shot(spark, tmp_path):
     chunked.compact()
     assert chunked._manifest() == [3]
     assert _res(chunked.query(queries, k=5, nprobe=4)) == before
+    # the compacted files must not carry the read-side `batch` partition
+    # column as data (it would shadow the real partition col on every
+    # later read and grow with repeated compactions)
+    raw = spark.read.parquet(str(tmp_path / "chk" / "vectors" / "batch=3"))
+    assert "batch" not in raw.columns
+    # compacting a compacted store stays clean too
+    chunked.compact()
+    assert _res(chunked.query(queries, k=5, nprobe=4)) == before
 
 
 def test_guards(spark, tmp_path, built):
@@ -84,6 +92,8 @@ def test_guards(spark, tmp_path, built):
     idx = IvfIndex(spark, str(tmp_path / "g"), n_lists=8, n_parts=4)
     with pytest.raises(ValueError, match="train"):
         idx.add(emb)
+    with pytest.raises(ValueError, match="train"):
+        idx.query(emb.limit(1))
     idx.train(emb)
     with pytest.raises(ValueError, match="frozen"):
         idx.train(emb)

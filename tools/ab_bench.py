@@ -35,11 +35,18 @@ def run_once(tree: str, env: dict, extra: list[str]) -> dict:
         cwd=tree,
         env=env,
         stdout=subprocess.PIPE,
-        stderr=subprocess.DEVNULL,
+        stderr=subprocess.PIPE,
         timeout=900,
     )
-    line = proc.stdout.decode().strip().splitlines()[-1]
-    return json.loads(line)
+    out = proc.stdout.decode().strip()
+    if proc.returncode != 0 or not out:
+        tail = proc.stderr.decode(errors="replace").strip().splitlines()[-15:]
+        raise RuntimeError(
+            f"bench.py in {tree} exited {proc.returncode} with "
+            f"{'no stdout' if not out else 'stdout'}; stderr tail:\n"
+            + "\n".join(tail)
+        )
+    return json.loads(out.splitlines()[-1])
 
 
 def main() -> None:

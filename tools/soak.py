@@ -79,6 +79,10 @@ def main() -> int:
     os.makedirs(args.root)
     spark = get_spark(cores=args.cores)
     per = args.events // args.batches
+    # the batched loop consumes exactly per*batches events; the one-shot
+    # replay and throughput must use the SAME count or a non-divisible
+    # --events guarantees a spurious state-mismatch FAIL
+    total_events = per * args.batches
 
     table = LakeTable(spark, os.path.join(args.root, "lake"),
                       n_buckets=args.n_buckets)
@@ -133,12 +137,12 @@ def main() -> int:
     sha, n_rows = _sha_state(table)
 
     result = {
-        "events": args.events,
+        "events": total_events,
         "batches": args.batches,
         "events_per_batch": per,
         "cores": args.cores,
         "run_wall_s": round(run_wall, 1),
-        "events_per_sec": round(args.events / run_wall),
+        "events_per_sec": round(total_events / run_wall),
         "final_rows": n_rows,
         "final_sha256": sha,
         "per_batch": batches,
@@ -163,7 +167,7 @@ def main() -> int:
         ck1 = CheckpointStore(spark, os.path.join(args.root, "ck1"))
         t0 = time.monotonic()
         apply_batch(
-            generate_events(spark, args.events, n_tablets=args.n_tablets,
+            generate_events(spark, total_events, n_tablets=args.n_tablets,
                             payload_format="shredded"),
             "oneshot", t1, ck1,
         )
