@@ -50,6 +50,8 @@ BENCH_QUERIES = [
     # benched so its cost is a recorded trend, not a claim)
     "cdc_cql_typed_decode",
     "dedup_incremental_index",
+    "text_line_dedup",
+    "text_mask_pii",
 ]
 
 
