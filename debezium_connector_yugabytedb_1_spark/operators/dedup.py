@@ -693,10 +693,16 @@ class MinHashIndex:
             sets = sets.unionByName(
                 stored_s.select("doc_id", "sh").join(cand_ids, "doc_id", "left_semi")
             )
+        # guard and verify scans reported SEPARATELY: summing reads against
+        # only the verify listing skewed the pruning ratio (it could exceed
+        # 1 when the key sets overlap) — each read must be <= its own total
+        # by construction for the boundedness evidence to mean anything
         self.last_add_stats = {
             "posting_partitions_read": p_read,
             "posting_partitions_total": p_total,
-            "set_partitions_read": g_read + s_read,
+            "guard_set_partitions_read": g_read,
+            "guard_set_partitions_total": g_total,
+            "set_partitions_read": s_read,
             "set_partitions_total": s_total,
         }
         sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))

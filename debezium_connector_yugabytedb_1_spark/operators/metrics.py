@@ -18,6 +18,8 @@ import logging
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .order import _SIGN_BIT, _U64_MASK, ht_key
+
 log = logging.getLogger("ybcdc.metrics")
 
 WAL_BACKLOG_WARN_THRESHOLD = 10_000  # reference: GROWING_WAL_WARNING_LOG_THRESHOLD
@@ -245,17 +247,21 @@ class TaskMetrics:
             F.sum((op == "u").cast("long")).alias("updates"),
             F.sum((op == "d").cast("long")).alias("deletes"),
             F.sum(is_commit.cast("long")).alias("txns"),
-            F.max("commit_time").alias("max_ct"),
+            # hybrid times compare in the UNSIGNED domain everywhere in the
+            # engine (order.ht_key) — a signed max would pick the wrong last
+            # event for HTs with the sign bit set and decode to a negative
+            # epoch below
+            F.max(ht_key("commit_time")).alias("max_ct_key"),
             F.max_by(
                 F.concat_ws(
                     "/", F.col("table"), op, F.col("tablet_id"),
                     F.col("index").cast("string"),
                 ),
-                F.struct("commit_time", "index", "write_id"),
+                F.struct(ht_key("commit_time").alias("ct"), "index", "write_id"),
             ).alias("last_event"),
             F.max_by(
                 F.when(is_commit, F.col("txn_id")),
-                F.when(is_commit, F.col("commit_time")),
+                F.when(is_commit, ht_key("commit_time")),
             ).alias("last_txn"),
             F.collect_set(F.when(op.isin("c", "u", "d", "r"), F.col("table"))).alias(
                 "tables"
@@ -275,9 +281,11 @@ class TaskMetrics:
             self._last_event_wall_ms = wall
         if row["last_txn"] is not None:
             self._last_txn_id = row["last_txn"]
-        if row["max_ct"] is not None:
-            # commit_time >> 12 = physical micros (SourceInfo.java:96)
-            ms = (row["max_ct"] >> 12) // 1000
+        if row["max_ct_key"] is not None:
+            # undo the ht_key sign-bit flip, then >>12 = physical micros
+            # (SourceInfo.java:96) on the unsigned magnitude
+            raw = (row["max_ct_key"] ^ _SIGN_BIT) & _U64_MASK
+            ms = (raw >> 12) // 1000
             self._max_commit_time_ms = max(self._max_commit_time_ms or 0, ms)
         if position:
             self._position.update(position)

@@ -86,6 +86,21 @@ def ht_key_py(v: int) -> int:
     return k - (1 << 64) if k >= _SIGN_BIT else k
 
 
+def ht_to_epoch_ms(col: Column | str) -> Column:
+    """Commit hybrid-time → epoch millis: HT >> 12 = physical micros
+    (``SourceInfo.java:96``), in the UNSIGNED domain (shiftrightunsigned, so
+    an HT with the sign bit set cannot yield a negative epoch)."""
+    c = F.col(col) if isinstance(col, str) else col
+    # micros < 2^52 after the shift, exactly representable in the double
+    # division below; cast truncates like integer division
+    return (F.shiftrightunsigned(c, 12) / F.lit(1000)).cast("long")
+
+
+def ht_to_epoch_ms_py(v: int) -> int:
+    """Driver-side twin of ``ht_to_epoch_ms`` (unsigned magnitude)."""
+    return ((v & _U64_MASK) >> 12) // 1000
+
+
 def last_writer_wins(
     df: DataFrame,
     key_cols=KEY_COLS,

@@ -338,7 +338,10 @@ class IvfIndex:
         if os.path.exists(pfile):
             with open(pfile) as f:
                 stored = json.load(f)
-            if {k: stored[k] for k in geo} != geo:
+            # stored.get(): a params.json from an older/foreign store layout
+            # may lack a key — that is the same "geometry mismatch" error,
+            # not a bare KeyError
+            if {k: stored.get(k) for k in geo} != geo:
                 raise ValueError(
                     f"index at {path} was built with {stored}, reopened with "
                     f"{geo}; geometry is immutable per index"
@@ -477,8 +480,22 @@ class IvfIndex:
         cand = (
             q_probe.join(stored.where(F.col("list_id").isin(*probed)), "list_id")
             .where(F.col("query_id") != F.col("vec_id"))
-            # re-added vec_ids are deduped here (same id, same vector)
-            .dropDuplicates(["query_id", "vec_id"])
+            # re-added vec_ids resolve DETERMINISTICALLY: the highest batch
+            # wins (re-add = upsert), ties within a batch break on the
+            # vector itself — ranks never depend on scan order (the old
+            # dropDuplicates picked an arbitrary embedding when an id was
+            # re-added with a different vector)
+            .groupBy("query_id", "vec_id")
+            .agg(
+                F.max_by(
+                    F.struct("list_id", "emb"),
+                    F.struct(F.col("batch").cast("long").alias("b"), F.col("emb").alias("e")),
+                ).alias("_w")
+            )
+            .select(
+                "query_id", "vec_id",
+                F.col("_w.list_id").alias("list_id"), F.col("_w.emb").alias("emb"),
+            )
         )
         q = queries.select(
             F.col(self.id_col).alias("query_id"), F.col(self.vec_col).alias("q_vec")
@@ -511,8 +528,22 @@ class IvfIndex:
         (
             # project away the read-side partition columns (batch, lkey) —
             # carrying them bakes a stale `batch` data column into the new
-            # files and every later read logs a shadowed-column conflict
-            stored.select("vec_id", "list_id", "emb")
+            # files and every later read logs a shadowed-column conflict.
+            # Re-added ids are resolved PHYSICALLY here with the same
+            # latest-batch-wins rule query() applies, so the folded store
+            # holds one row per vec_id.
+            stored.groupBy("vec_id")
+            .agg(
+                F.max_by(
+                    F.struct("list_id", "emb"),
+                    F.struct(F.col("batch").cast("long").alias("b"), F.col("emb").alias("e")),
+                ).alias("_w")
+            )
+            .select(
+                "vec_id",
+                F.col("_w.list_id").alias("list_id"),
+                F.col("_w.emb").alias("emb"),
+            )
             .withColumn(
                 "lkey", F.pmod(F.col("list_id"), F.lit(self.n_parts)).cast("int")
             )

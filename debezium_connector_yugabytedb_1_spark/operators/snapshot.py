@@ -58,6 +58,7 @@ def run_snapshot(
     max_chunks: int | None = None,
     staging_path: str | None = None,
     metrics=None,
+    batch_prefix: str = "snapshot",
 ) -> int:
     """Execute the snapshot phase **resumably**: the base state is cut into
     per-tablet key-range chunks, each chunk is MERGEd and checkpointed
@@ -136,7 +137,7 @@ def run_snapshot(
             env = snapshot_envelopes(rows, n_tablets=n_tablets)
             if metrics is not None:
                 metrics.current_chunk(f"t{t}-c{c}", (t, c), (t, c))
-            mstats = table.merge_events(env, batch_id=f"snapshot-t{t}-c{c}")
+            mstats = table.merge_events(env, batch_id=f"{batch_prefix}-t{t}-c{c}")
             if metrics is not None:
                 metrics.rows_scanned(table_name, mstats.upserted)
             done.add((t, c))
@@ -151,6 +152,89 @@ def run_snapshot(
         metrics.table_completed(table_name)
         metrics.snapshot_completed()
     return processed
+
+
+def snapshot_in_effect(ckpt: CheckpointStore) -> bool:
+    """True while a snapshot has started (chunks committed) but not
+    completed — the ``OffsetState.snapshotInEffect`` analogue
+    (``YugabyteDBOffsetContext.java:155-158``): offsets exist in the
+    snapshot OpId format without the SNAPSHOT_DONE sentinel."""
+    meta = ckpt.meta()
+    return bool(meta.get("snapshot_chunks_done")) and not meta.get("snapshot_done")
+
+
+def execute_snapshot_policy(
+    mode: str,
+    base: DataFrame | None,
+    table: LakeTable,
+    ckpt: CheckpointStore,
+    **snapshot_kwargs,
+) -> tuple[int, bool]:
+    """``snapshot.mode`` policy dispatch — the Snapshotter SPI collapsed to
+    a function (``spi/Snapshotter.java``; mode classes under ``snapshot/``:
+    ``NeverSnapshotter.java:21``, ``InitialSnapshotter.java``,
+    ``InitialOnlySnapshotter.java``, ``AlwaysSnapshotter.java``; mode enum
+    ``YugabyteDBConnectorConfig.java:985-1046``).
+
+    Returns ``(chunks_processed, should_stream)``:
+
+    - ``initial``       snapshot once (skip if complete, resume if
+                        incomplete), then stream.
+    - ``never``         no snapshot, stream only.  A previously started but
+                        incomplete snapshot RAISES, exactly the reference's
+                        NeverSnapshotter.init ConnectException — silently
+                        streaming over a half-loaded table would serve
+                        wrong state forever.
+    - ``initial_only``  snapshot once, never stream
+                        (``InitialOnlySnapshotter.shouldStream`` = false).
+    - ``always``        re-snapshot on EVERY start, then stream: the done
+                        markers are cleared so every chunk re-runs; the
+                        idempotent MERGE + per-row monotonic offset guard
+                        absorbs re-delivery, and streamed rows newer than
+                        the snapshot offset (term -1) are never clobbered.
+    """
+    from ..config import SNAPSHOT_MODES, ConfigError
+
+    if mode not in SNAPSHOT_MODES:
+        raise ConfigError(
+            "snapshot_mode", f"valid values are {list(SNAPSHOT_MODES)}, but got {mode!r}"
+        )
+    if mode == "never":
+        if snapshot_in_effect(ckpt):
+            raise RuntimeError(
+                "The connector previously stopped while taking a snapshot, "
+                "but now the connector is configured to never allow "
+                "snapshots. Reconfigure the connector to use snapshots "
+                "initially or when needed."
+            )
+        return 0, True
+    if base is None:
+        raise ConfigError(
+            "snapshot_mode",
+            f"mode {mode!r} requires a snapshot source (base DataFrame)",
+        )
+    if mode == "always":
+        # re-snapshot on every start (AlwaysSnapshotter never resumes a
+        # prior run): clear the completion/chunk markers and bump the
+        # snapshot generation — the generation suffixes the MERGE batch ids,
+        # else the lake's applied-batch idempotency skip would turn the
+        # re-snapshot into a no-op and base rows added since the last run
+        # would never load
+        meta = ckpt.meta()
+        gen = int(meta.get("snapshot_generation", 0))
+        if meta.get("snapshot_done") or meta.get("snapshot_chunks_done"):
+            gen += 1
+            ckpt.commit(
+                [],
+                meta={
+                    "snapshot_done": False,
+                    "snapshot_chunks_done": [],
+                    "snapshot_generation": gen,
+                },
+            )
+        snapshot_kwargs = dict(snapshot_kwargs, batch_prefix=f"snapshot-g{gen}")
+    processed = run_snapshot(base, table, ckpt, **snapshot_kwargs)
+    return processed, mode != "initial_only"
 
 
 def run_snapshot_bulk(

@@ -102,46 +102,60 @@ def line_dedup(
     (always kept): short/blank lines are document structure, not
     boilerplate, and deduping them would glue unrelated paragraphs.
 
-    One explode + one (line)-keyed window over the ELIGIBLE lines only +
-    one per-doc aggregation — pure JVM, shuffles on (line) then (id).
-    At 100 TB the (line) shuffle is the dominant cost and is the same
-    shape every published line-dedup pipeline pays; salting is
-    unnecessary because eligible-line cardinality is huge and the window
-    only rank-1-filters. Exempt (short/blank) lines never enter that
-    shuffle — eligibility is a function of the line text alone, so
-    filtering before the window cannot change any rank, and routing the
-    corpus's billions of identical blank lines into one window partition
-    would otherwise be THE straggler at scale.
+    First-occurrence selection is a MAP-SIDE-COMBINABLE aggregation:
+    ``groupBy(line).agg(min(struct(id, pos)))``.  The winner row per
+    distinct line IS the kept occurrence, so no window and no join-back
+    on the line key exist at all — a corpus-hot line (a license banner
+    repeated 10^8 times, exactly what this operator removes) partially
+    aggregates to one candidate per map task before the (line) shuffle
+    instead of sorting every occurrence in a single window task (the
+    row_number()-over-(line) form this replaced was that straggler).
+    Losing occurrences are never shuffled anywhere: per-doc ``n_lines``
+    is computed directly from the source text.  Exempt (short/blank)
+    lines never enter the (line) shuffle either — eligibility is a
+    function of the line text alone, so filtering first cannot change
+    any winner, and routing the corpus's billions of identical blank
+    lines through the hot-key shuffle would otherwise be the other
+    straggler at scale.
 
     Output: (id, text_dedup, n_lines, n_kept) — ``text_dedup`` is ''
     for a document whose every line lost.
     """
-    from pyspark.sql import Window
-
-    lines = docs.select(
+    lines = docs.where(F.col(text_col).isNotNull()).select(
         F.col(id_col), F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line")
     ).withColumn(
         "eligible", F.size(F.split(F.trim(F.col("line")), r"\s+")) >= min_words
     )
-    w = Window.partitionBy("line").orderBy(F.col(id_col).asc(), F.col("pos").asc())
-    ranked = (
+    winners = (
         lines.where(F.col("eligible"))
-        .withColumn("keep", F.row_number().over(w) == 1)
+        .groupBy("line")
+        .agg(F.min(F.struct(F.col(id_col).alias("_id"), F.col("pos").alias("_pos"))).alias("_w"))
+        .select(
+            F.col("_w._id").alias(id_col),
+            F.col("_w._pos").alias("pos"),
+            "line",
+        )
     )
-    exempt = lines.where(~F.col("eligible")).withColumn("keep", F.lit(True))
-    kept = ranked.unionByName(exempt).drop("eligible")
-    return kept.groupBy(id_col).agg(
+    exempt = lines.where(~F.col("eligible")).select(id_col, "pos", "line")
+    kept = winners.unionByName(exempt)
+    rebuilt = kept.groupBy(id_col).agg(
         F.concat_ws(
             sep,
             F.transform(
-                F.array_sort(
-                    F.collect_list(F.when(F.col("keep"), F.struct("pos", "line")))
-                ),
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
                 lambda x: x["line"],
             ),
-        ).alias("text_dedup"),
-        F.count(F.lit(1)).alias("n_lines"),
-        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        ).alias("_text_dedup"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    base = docs.where(F.col(text_col).isNotNull()).select(
+        id_col, F.size(F.split(F.col(text_col), sep)).alias("n_lines")
+    )
+    return base.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("_text_dedup"), F.lit("")).alias("text_dedup"),
+        "n_lines",
+        F.coalesce(F.col("_n_kept"), F.lit(0)).alias("n_kept"),
     )
 
 

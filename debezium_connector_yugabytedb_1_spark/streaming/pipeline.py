@@ -83,6 +83,8 @@ class CdcPipeline:
         vacuum_every: int | None = None,
         prune_wal_every: int | None = None,
         task_metrics: "TaskMetrics | None" = None,
+        snapshot_mode: str = "initial",
+        snapshot_source: DataFrame | None = None,
     ):
         from ..config import validate_config
 
@@ -99,10 +101,16 @@ class CdcPipeline:
                     "message_prefix_include": message_prefix_include,
                     "message_prefix_exclude": message_prefix_exclude,
                     "events_per_batch": events_per_batch,
+                    "snapshot_mode": snapshot_mode,
                 }.items()
                 if v not in (None, ())
             }
         )
+        #: snapshot.mode policy honored by ``start()``
+        #: (``YugabyteDBConnectorConfig.java:985-1046``); ``run()`` remains
+        #: the bare streaming loop for callers managing snapshots themselves
+        self.snapshot_mode = snapshot_mode
+        self.snapshot_source = snapshot_source
         self.spark = spark
         self.events_path = events_path
         self.table = table
@@ -193,6 +201,33 @@ class CdcPipeline:
         if seg and "segment" in events.columns:
             w = w.where(F.col("segment").between(lo // seg, (hi - 1) // seg))
         return w
+
+    def start(
+        self,
+        max_batches: int | None = None,
+        snapshot_kwargs: dict | None = None,
+    ) -> list[BatchResult]:
+        """Connector start: execute the configured ``snapshot_mode`` policy,
+        then stream iff the mode streams (the task's doExecute sequence —
+        snapshotter consulted first, streaming source started after:
+        ``YugabyteDBConnectorTask.java`` / ``spi/Snapshotter.java``).
+
+        ``never`` skips the snapshot entirely (and refuses to resume over a
+        half-taken one); ``initial_only`` returns after the snapshot without
+        processing a single stream window; ``always`` re-snapshots on every
+        start. Snapshot chunk counts land in ``self.snapshot_chunks``."""
+        from ..operators.snapshot import execute_snapshot_policy
+
+        self.snapshot_chunks, should_stream = execute_snapshot_policy(
+            self.snapshot_mode,
+            self.snapshot_source,
+            self.table,
+            self.ckpt,
+            **(snapshot_kwargs or {}),
+        )
+        if not should_stream:
+            return []
+        return self.run(max_batches=max_batches)
 
     def run(self, max_batches: int | None = None) -> list[BatchResult]:
         """Process micro-batch windows from the stored cursor to the end of

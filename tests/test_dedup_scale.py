@@ -195,6 +195,9 @@ def test_minhash_index_pruned_reads_bounded_and_compact(spark, tmp_path):
     st = idx.last_add_stats
     assert st["posting_partitions_read"] < st["posting_partitions_total"], st
     assert st["set_partitions_read"] < st["set_partitions_total"], st
+    # read <= total must hold per scan BY CONSTRUCTION (guard and verify
+    # are reported separately — r6: the summed form could exceed 1)
+    assert st["guard_set_partitions_read"] <= st["guard_set_partitions_total"], st
     assert (40, 41) in pairs
     # compact: 5 batches → 1; totals drop to O(parts); results preserved
     assert idx.compact() == 5

@@ -120,3 +120,48 @@ def test_empty_index_and_orphan_batch_invisible(spark, tmp_path):
     idx.add(emb)  # retried add reuses/overwrites the orphan slot
     assert idx._manifest() == [0]
     assert idx.query(emb.limit(3), k=5).count() > 0
+
+
+def test_geometry_mismatch_on_foreign_params(spark, tmp_path):
+    """A params.json lacking a geometry key (older/foreign store layout)
+    must raise the descriptive mismatch error, not a bare KeyError."""
+    import json
+
+    path = str(tmp_path / "foreign")
+    os.makedirs(path)
+    with open(os.path.join(path, "params.json"), "w") as f:
+        json.dump({"n_lists": 8}, f)  # no n_parts / seed
+    with pytest.raises(ValueError, match="immutable"):
+        IvfIndex(spark, path, n_lists=8, n_parts=4)
+
+
+def test_readded_id_resolves_to_latest_batch(spark, tmp_path):
+    """Re-adding a vec_id with a DIFFERENT vector is an upsert: query()
+    scores the latest batch's embedding, deterministically (the old
+    dropDuplicates picked an arbitrary one), and compact() resolves the
+    duplicate physically."""
+    emb = _emb(spark)
+    idx = IvfIndex(spark, str(tmp_path / "re"), n_lists=4, n_parts=2)
+    idx.train(emb)
+    idx.add(emb.limit(40))
+    # re-add id 0 with the embedding of some other vector (id 7)
+    swapped = (
+        emb.where(F.col("vec_id") == 7)
+        .select(F.lit(0).cast("long").alias("vec_id"), "embedding")
+    )
+    idx.add(swapped)
+    queries = emb.where(F.col("vec_id") == 7).select(
+        F.lit(999).cast("long").alias("vec_id"), "embedding"
+    )
+    # probe everything: id 0 must now score as an exact match to id 7's
+    # vector (cosine ~1), proving the later batch won
+    res = {r["neighbor_id"]: r["cosine"] for r in idx.query(queries, k=40, nprobe=4).collect()}
+    assert res[0] == pytest.approx(1.0, abs=1e-6)
+    before = _res(idx.query(queries, k=10, nprobe=4))
+    # stable across repeated evaluation (determinism, not scan-order luck)
+    assert before == _res(idx.query(queries, k=10, nprobe=4))
+    # compaction applies the same rule physically: one row per vec_id
+    idx.compact()
+    stored, _, _ = idx._pruned_read(set(range(2)))
+    assert stored.groupBy("vec_id").count().where("count > 1").count() == 0
+    assert _res(idx.query(queries, k=10, nprobe=4)) == before

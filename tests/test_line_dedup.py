@@ -58,3 +58,61 @@ def test_plan_stays_jvm(spark):
     df = line_dedup(_docs(spark, [(1, "a b\nc d")]))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
+
+
+def _line_dedup_via_window(docs, sep="\n", min_words=2):
+    """The pre-r6 formulation: (line)-partitioned row_number window.
+    Kept here ONLY as the equivalence baseline — a corpus-hot line sorts
+    all its occurrences in one window task, which is why production
+    switched to the combinable min(struct) aggregation."""
+    from pyspark.sql import Window
+
+    lines = docs.select(
+        F.col("doc_id"), F.posexplode(F.split(F.col("text"), sep)).alias("pos", "line")
+    ).withColumn("eligible", F.size(F.split(F.trim(F.col("line")), r"\s+")) >= min_words)
+    w = Window.partitionBy("line").orderBy(F.col("doc_id").asc(), F.col("pos").asc())
+    ranked = lines.where(F.col("eligible")).withColumn("keep", F.row_number().over(w) == 1)
+    exempt = lines.where(~F.col("eligible")).withColumn("keep", F.lit(True))
+    kept = ranked.unionByName(exempt).drop("eligible")
+    return kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.when(F.col("keep"), F.struct("pos", "line")))),
+                lambda x: x["line"],
+            ),
+        ).alias("text_dedup"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+    )
+
+
+def test_equivalent_to_window_form_on_generated_corpus(spark):
+    # deterministic corpus with hot lines (shared banners), in-doc repeats,
+    # short/blank exempt lines, and all-lines-lose documents
+    banners = ["shared banner line", "footer boilerplate text", "x"]
+    rows = []
+    for i in range(60):
+        lines = [
+            banners[i % 3],
+            f"unique content {i} alpha",
+            "",
+            banners[(i + 1) % 3],
+            f"unique content {i} beta" if i % 4 else banners[0],
+            "tok",
+        ]
+        rows.append((i, "\n".join(lines)))
+    rows.append((60, "shared banner line"))  # loses its only line
+    docs = _docs(spark, rows)
+    new = {r["doc_id"]: r.asDict() for r in line_dedup(docs).collect()}
+    old = {r["doc_id"]: r.asDict() for r in _line_dedup_via_window(docs).collect()}
+    assert new == old
+
+
+def test_plan_has_no_window_and_partial_min(spark):
+    # the scale contract: first-occurrence selection must be a partially
+    # aggregated min, never a (line)-partitioned window sort
+    df = line_dedup(_docs(spark, [(1, "a b\nc d"), (2, "a b\ne f")]))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_min" in plan or "partial min" in plan.lower()

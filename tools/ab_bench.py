@@ -71,7 +71,9 @@ def main() -> None:
     t0 = time.time()
     for rep in range(args.reps):
         for label, tree in trees:
-            extra = ["--single", "--no-queries"] if args.headline_only else []
+            # always --single: this harness does its own interleaved reps and
+            # must see each window's raw number, not bench.py's best-of-N
+            extra = ["--single", "--no-queries"] if args.headline_only else ["--single"]
             r = run_once(tree, env, extra)
             reps[label].append(r)
             print(
