@@ -194,6 +194,57 @@ def q_cdc_envelope_project(spark, sf_dir):
     )
 
 
+def q_cdc_cloud_events(spark, sf_dir):
+    """P12 — CloudEvents envelope maker
+    (``converters/YugabyteDBCloudEventsMaker.java:18-31``): synthesize a
+    decoded envelope deterministically from event ids, reshape through
+    ``transforms.cloud_events``, and emit the attribute columns plus
+    JSON-extracted ``data`` fields (the exact JSON text is Spark's
+    serializer concern; the CONTENT is what the oracle pins)."""
+    from debezium_connector_yugabytedb_1_spark.operators import transforms
+
+    feed = _feed(spark, sf_dir)
+    i = F.col("event_id")
+    dec = feed.select(
+        "op",
+        "tablet_id",
+        F.pmod(i, F.lit(3)).alias("term"),
+        i.alias("index"),
+        F.pmod(i, F.lit(5)).alias("write_id"),
+        F.when(F.pmod(i, F.lit(4)) == 0, F.lit(None).cast("string"))
+        .otherwise(F.floor(i / 10).cast("string"))
+        .alias("txn_id"),
+        # hybrid time = physical micros << 12
+        ((F.lit(1_600_000_000_000_000) + i * 1000) * F.lit(4096)).alias("commit_time"),
+        F.lit("public.events").alias("table"),
+        F.concat(F.lit("r"), F.col("user_id").cast("string")).alias("repo"),
+        F.concat(F.lit("p"), i.cast("string")).alias("path"),
+        F.struct(
+            F.concat(F.lit("c"), i.cast("string")).alias("commit"),
+            F.lit("python").alias("lang"),
+            F.concat(F.lit("body"), i.cast("string")).alias("content"),
+            F.pmod(i, F.lit(100)).cast("long").alias("stars"),
+        ).alias("after"),
+        F.when(
+            F.pmod(i, F.lit(3)) == 0,
+            F.array(F.lit("commit"), F.lit("lang"), F.lit("content"), F.lit("stars")),
+        )
+        .when(F.pmod(i, F.lit(3)) == 1, F.array(F.lit("commit")))
+        .otherwise(F.array(F.lit("content"), F.lit("stars")))
+        .alias("changed"),
+    )
+    ce = transforms.cloud_events(dec)
+    return ce.select(
+        "ce_id", "ce_source", "ce_specversion", "ce_type",
+        "ce_time_ms", "ce_datacontenttype",
+        F.get_json_object("data", "$.op").alias("d_op"),
+        F.get_json_object("data", "$.key.repo").alias("d_repo"),
+        F.get_json_object("data", "$.after.commit").alias("d_commit"),
+        F.get_json_object("data", "$.after.stars").alias("d_stars"),
+        F.get_json_object("data", "$.source.lsn").alias("d_lsn"),
+    )
+
+
 def q_cdc_pk_update_split(spark, sf_dir):
     """P4 — PK update → DELETE(old)+CREATE(new) pair."""
     feed = _feed(spark, sf_dir).where(F.col("event_type") == "purchase")
@@ -876,6 +927,19 @@ def q_cdc_typed_decode(spark, sf_dir):
         F.lower(F.hex(g["wkb"])).alias("geom_wkb_hex"),
         g["srid"].cast("long").alias("geom_srid"),
         C.convert_timetz(timetz_wire).alias("timetz_utc"),
+        # r6: Ltree logical type (data/Ltree.java:16; convertLtree :580)
+        C.convert_ltree(
+            F.concat(F.lit("Top.Science.n"), F.pmod(i, F.lit(100)).cast("string"))
+        ).alias("ltree_path"),
+        F.array_join(
+            C.convert_ltree_array(
+                F.concat(
+                    F.lit("{Top.A"), i.cast("string"),
+                    F.lit(",Top.B"), (i * 2).cast("string"), F.lit("}"),
+                )
+            ),
+            "|",
+        ).alias("ltree_arr"),
     )
 
 
@@ -938,6 +1002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_resume_filter": q_cdc_resume_filter,
         "cdc_metrics_counts": q_cdc_metrics_counts,
         "cdc_envelope_project": q_cdc_envelope_project,
+        "cdc_cloud_events": q_cdc_cloud_events,
         "cdc_pk_update_split": q_cdc_pk_update_split,
         "cdc_tombstones": q_cdc_tombstones,
         "cdc_txn_metadata": q_cdc_txn_metadata,
@@ -1034,7 +1099,10 @@ def oracle_sql() -> dict[str, str]:
               lpad(CAST(tzus // 3600000000 AS VARCHAR), 2, '0') || ':' ||
                 lpad(CAST((tzus // 60000000) % 60 AS VARCHAR), 2, '0') || ':' ||
                 lpad(CAST((tzus // 1000000) % 60 AS VARCHAR), 2, '0') || '.' ||
-                lpad(CAST(tzus % 1000000 AS VARCHAR), 6, '0') || 'Z' AS timetz_utc
+                lpad(CAST(tzus % 1000000 AS VARCHAR), 6, '0') || 'Z' AS timetz_utc,
+              'Top.Science.n' || CAST(i % 100 AS VARCHAR) AS ltree_path,
+              'Top.A' || CAST(i AS VARCHAR) || '|' ||
+                'Top.B' || CAST(i * 2 AS VARCHAR) AS ltree_arr
             FROM base
         """,
         "cdc_cql_typed_decode": """
@@ -1144,6 +1212,29 @@ def oracle_sql() -> dict[str, str]:
             WITH feed AS ({feed})
             SELECT event_id, op, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
                    sha256(event_type || ':' || CAST(event_id AS VARCHAR)) AS content_sha
+            FROM feed
+        """,
+        "cdc_cloud_events": f"""
+            WITH feed AS ({feed})
+            SELECT
+              'name:dbserver1;lsn:' || CAST(event_id % 3 AS VARCHAR) || ':'
+                || CAST(event_id AS VARCHAR) || ':' || CAST(event_id % 5 AS VARCHAR)
+                || ';txId:'
+                || CASE WHEN event_id % 4 = 0 THEN 'null'
+                        ELSE CAST(event_id // 10 AS VARCHAR) END AS ce_id,
+              '/debezium/yugabytedb/dbserver1' AS ce_source,
+              '1.0' AS ce_specversion,
+              'io.debezium.yugabytedb.datachangeevent' AS ce_type,
+              1600000000000 + event_id AS ce_time_ms,
+              'application/json' AS ce_datacontenttype,
+              op AS d_op,
+              'r' || CAST(user_id AS VARCHAR) AS d_repo,
+              CASE WHEN event_id % 3 IN (0, 1)
+                   THEN 'c' || CAST(event_id AS VARCHAR) END AS d_commit,
+              CASE WHEN event_id % 3 IN (0, 2)
+                   THEN CAST(event_id % 100 AS VARCHAR) END AS d_stars,
+              CAST(event_id % 3 AS VARCHAR) || ':' || CAST(event_id AS VARCHAR)
+                || ':' || CAST(event_id % 5 AS VARCHAR) AS d_lsn
             FROM feed
         """,
         "cdc_pk_update_split": """

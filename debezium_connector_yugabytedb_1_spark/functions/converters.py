@@ -204,6 +204,27 @@ def convert_citext(col: Column | str) -> Column:
     return _c(col)
 
 
+def convert_ltree(col: Column | str) -> Column:
+    """LTREE label path → string as-is (logical type
+    ``data/Ltree.java:16-18`` ``io.debezium.data.Ltree``; value delivery is
+    a charset-decoded passthrough, ``convertLtree :580-592``)."""
+    return _c(col)
+
+
+def convert_ltree_array(col: Column | str) -> Column:
+    """LTREE[] wire literal ``{a.b,c.d}`` → array<string>.
+
+    Parity note: the reference's ``convertLtreeArray :594-604`` is a NAIVE
+    brace-strip + comma-split (ltree labels are ``[A-Za-z0-9_]`` segments
+    joined by dots, so no quoting can occur) — deliberately simpler than
+    ``convert_array``'s quoted-element tokenizer."""
+    c = _c(col)
+    body = _strip_braces(c)
+    return F.when(
+        c.isNull(), F.lit(None).cast("array<string>")
+    ).otherwise(F.split(body, ","))
+
+
 def convert_interval(col: Column | str, mode: str = "numeric") -> Column:
     """INTERVAL from wire micros (``convertInterval :746-782``):
     ``numeric`` → the micros long; ``string`` → the reference's ISO form

@@ -621,37 +621,53 @@ class MinHashIndex:
     def add(self, docs: DataFrame) -> DataFrame:
         import os
 
-        per_doc = _doc_sets_sigs(docs, self.text_col, self.k, self.n_hashes)
-        banded = (
-            _buckets_from_sigs(per_doc, self.n_hashes, self.bands)
-            .withColumn("pkey", self._pkey())
-            .localCheckpoint()
+        # ONE materialization of the expensive shingle+signature pass:
+        # everything downstream (bands, guard ids, verify sets, BOTH store
+        # writes) is a cheap projection over this checkpoint. The previous
+        # shape checkpointed `banded` instead, so the sets write and the
+        # guard re-ran the full shingle aggregation — 3 passes per add.
+        per_doc = _doc_sets_sigs(
+            docs, self.text_col, self.k, self.n_hashes
+        ).localCheckpoint()
+        banded = _buckets_from_sigs(per_doc, self.n_hashes, self.bands).withColumn(
+            "pkey", self._pkey()
         )
-        # ---- re-add guard: scan only the doc_id column of the skey
-        # partitions that could hold the incoming ids (ADVICE r4: a silent
-        # re-add would duplicate postings/sets and inflate later verifies)
-        new_ids = per_doc.select("doc_id", self._skey().alias("skey")).localCheckpoint()
-        guard_keys = {r[0] for r in new_ids.select("skey").distinct().collect()}
-        stored_ids, g_read, g_total = self._pruned_read(self._sets, "skey", guard_keys)
-        if stored_ids is not None:
-            dup = stored_ids.select("doc_id").join(
-                new_ids.select("doc_id"), "doc_id", "left_semi"
+        committed = self._manifest()
+        if committed:
+            # ---- re-add guard: scan only the doc_id column of the skey
+            # partitions that could hold the incoming ids (ADVICE r4: a
+            # silent re-add would duplicate postings/sets and inflate later
+            # verifies)
+            new_ids = per_doc.select("doc_id", self._skey().alias("skey"))
+            guard_keys = {r[0] for r in new_ids.select("skey").distinct().collect()}
+            stored_ids, g_read, g_total = self._pruned_read(
+                self._sets, "skey", guard_keys
             )
-            if not dup.isEmpty():
-                some = [r[0] for r in dup.limit(5).collect()]
-                raise ValueError(
-                    f"doc_ids already indexed (each doc_id must be added "
-                    f"exactly once): {some}"
+            if stored_ids is not None:
+                dup = stored_ids.select("doc_id").join(
+                    new_ids.select("doc_id"), "doc_id", "left_semi"
                 )
-        # ---- candidates: new × new (a < b) plus stored × new — stored
-        # postings pruned to the pkey partitions present in the NEW batch
-        # (a candidate must share (band, bucket) with a new doc, so the
-        # pruning is lossless); stored-internal pairs were emitted by
-        # earlier adds
-        new_pkeys = {r[0] for r in banded.select("pkey").distinct().collect()}
-        stored_b, p_read, p_total = self._pruned_read(
-            self._buckets, "pkey", new_pkeys
-        )
+                if not dup.isEmpty():
+                    some = [r[0] for r in dup.limit(5).collect()]
+                    raise ValueError(
+                        f"doc_ids already indexed (each doc_id must be added "
+                        f"exactly once): {some}"
+                    )
+            # ---- candidates: new × new (a < b) plus stored × new — stored
+            # postings pruned to the pkey partitions present in the NEW
+            # batch (a candidate must share (band, bucket) with a new doc,
+            # so the pruning is lossless); stored-internal pairs were
+            # emitted by earlier adds
+            new_pkeys = {r[0] for r in banded.select("pkey").distinct().collect()}
+            stored_b, p_read, p_total = self._pruned_read(
+                self._buckets, "pkey", new_pkeys
+            )
+        else:
+            # first add: nothing stored — skip the guard scan, the pkey
+            # collect, and the pruned reads outright (the empty-manifest
+            # fast path; an add against a fresh index previously still paid
+            # three driver jobs to learn the store was empty)
+            stored_b, g_read, g_total, p_read, p_total = None, 0, 0, 0, 0
         cand = (
             banded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
             .join(
@@ -674,25 +690,33 @@ class MinHashIndex:
             )
             cand = cand.unionByName(vs_stored)
         cand = cand.distinct().localCheckpoint()
-        # ---- verify: read ONLY the skey partitions of candidate doc ids,
-        # then semi-join to the candidate ids themselves (AQE broadcasts
-        # the id set when small) so the array_intersect join's build side
-        # is candidates-only, not partitions-full
-        cand_ids = (
-            cand.select(F.col("doc_a").alias("doc_id"))
-            .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
-            .distinct()
-            .localCheckpoint()
-        )
-        verify_keys = {
-            r[0] for r in cand_ids.select(self._skey().alias("k")).distinct().collect()
-        }
-        stored_s, s_read, s_total = self._pruned_read(self._sets, "skey", verify_keys)
         sets = per_doc.select("doc_id", "sh")
-        if stored_s is not None:
-            sets = sets.unionByName(
-                stored_s.select("doc_id", "sh").join(cand_ids, "doc_id", "left_semi")
+        s_read = s_total = 0
+        if committed:
+            # ---- verify: read ONLY the skey partitions of candidate doc
+            # ids, then semi-join to the candidate ids themselves (AQE
+            # broadcasts the id set when small) so the array_intersect
+            # join's build side is candidates-only, not partitions-full.
+            # With nothing committed every candidate is in per_doc already.
+            cand_ids = (
+                cand.select(F.col("doc_a").alias("doc_id"))
+                .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+                .distinct()
+                .localCheckpoint()
             )
+            verify_keys = {
+                r[0]
+                for r in cand_ids.select(self._skey().alias("k")).distinct().collect()
+            }
+            stored_s, s_read, s_total = self._pruned_read(
+                self._sets, "skey", verify_keys
+            )
+            if stored_s is not None:
+                sets = sets.unionByName(
+                    stored_s.select("doc_id", "sh").join(
+                        cand_ids, "doc_id", "left_semi"
+                    )
+                )
         # guard and verify scans reported SEPARATELY: summing reads against
         # only the verify listing skewed the pruning ratio (it could exceed
         # 1 when the key sets overlap) — each read must be <= its own total
@@ -724,20 +748,34 @@ class MinHashIndex:
         # a retried failed add() (and a crashed compact()) reuses its slot:
         # max+1 is stable until the manifest commits
         n = max(self._manifest(), default=-1) + 1
-        (
-            banded.repartition("pkey")
-            .write.partitionBy("pkey")
-            .mode("overwrite")
-            .parquet(os.path.join(self._buckets, f"batch={n}"))
-        )
-        (
-            per_doc.select("doc_id", "sh")
-            .withColumn("skey", self._skey())
-            .repartition("skey")
-            .write.partitionBy("skey")
-            .mode("overwrite")
-            .parquet(os.path.join(self._sets, f"batch={n}"))
-        )
+        # the postings and sets writes are independent jobs over the same
+        # checkpoint (different roots, different keys) — run them
+        # CONCURRENTLY so the add pays one write's wall, not two; neither
+        # is visible until the single manifest commit below either way
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _write_buckets():
+            (
+                banded.repartition("pkey")
+                .write.partitionBy("pkey")
+                .mode("overwrite")
+                .parquet(os.path.join(self._buckets, f"batch={n}"))
+            )
+
+        def _write_sets():
+            (
+                per_doc.select("doc_id", "sh")
+                .withColumn("skey", self._skey())
+                .repartition("skey")
+                .write.partitionBy("skey")
+                .mode("overwrite")
+                .parquet(os.path.join(self._sets, f"batch={n}"))
+            )
+
+        with ThreadPoolExecutor(2) as ex:
+            futs = [ex.submit(_write_buckets), ex.submit(_write_sets)]
+            for f in futs:
+                f.result()  # re-raise any write failure before the commit
         self._commit_manifest(self._manifest() + [n])  # atomically visible
         return pairs
 

@@ -53,9 +53,16 @@ def read_event_stream(
 ) -> DataFrame:
     """Structured Streaming file source over the event log (schema must be
     explicit for streaming reads). ``maxFilesPerTrigger`` is the
-    backpressure knob (Q1 analogue)."""
+    backpressure knob (Q1 analogue).
+
+    The schema comes from the log's OWN parquet footers (one driver-side
+    batch-read at stream start), not a hard-coded literal: the wire has two
+    variants (JSON ``payload`` vs the shredded typed ``change`` struct),
+    and pinning the JSON one silently decoded every shredded cell to NULL —
+    columns absent from an explicit file-source schema don't error, they
+    null out."""
     return (
-        spark.readStream.schema(EVENT_SCHEMA)
+        spark.readStream.schema(spark.read.parquet(path).schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )

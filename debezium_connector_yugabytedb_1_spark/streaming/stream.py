@@ -131,19 +131,36 @@ def run_streaming(
     gate=None,
     expire_keep: int | None = 64,
     task_metrics=None,
+    batch_hook=None,
+    max_files_per_trigger: int = 4,
 ) -> None:
     """Run the streaming pipeline until the available data is exhausted
     (availableNow) — the bounded-test mode; drop the trigger for continuous
     tailing in production. With ``gate`` (consistent mode), a bounded run
     drains the gate's pending store after the source is exhausted (end of
-    log ⇒ commit-order release is trivially satisfied for the tail)."""
-    stream = read_event_stream(spark, events_path)
-    writer = stream.writeStream.foreachBatch(
-        lambda df, bid: apply_batch(
+    log ⇒ commit-order release is trivially satisfied for the tail).
+
+    ``batch_hook(batch_id, wall_seconds)`` is called after every trigger's
+    ``apply_batch`` — the observability seam soak/latency harnesses use to
+    record per-trigger cost without forking the production path."""
+    import time
+
+    stream = read_event_stream(
+        spark, events_path, max_files_per_trigger=max_files_per_trigger
+    )
+
+    def _apply(df, bid):
+        t0 = time.monotonic()
+        apply_batch(
             df, bid, table, ckpt, gate=gate, expire_keep=expire_keep,
             task_metrics=task_metrics,
         )
-    ).option("checkpointLocation", checkpoint_location)
+        if batch_hook is not None:
+            batch_hook(bid, time.monotonic() - t0)
+
+    writer = stream.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_location
+    )
     if available_now:
         q = writer.trigger(availableNow=True).start()
     else:

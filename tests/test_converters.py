@@ -241,3 +241,22 @@ def test_typed_array_families(spark):
     ).first()
     assert r["d"] == [18263, 106751991, None]
     assert r["t"] == ["2020-01-02T03:04:05.000000Z", None]
+
+
+def test_ltree_and_ltree_array(spark):
+    """Ltree passthrough + the reference's NAIVE brace-strip/comma-split
+    for ltree[] (``convertLtreeArray :594-604`` — no quoting possible in
+    ltree labels, so no tokenizer)."""
+    df = spark.createDataFrame(
+        [("Top.Science", "{Top.A,Top.B.c1}"), (None, "{}"), ("a_b.c0", None)],
+        "lt string, lta string",
+    )
+    rows = df.select(
+        C.convert_ltree("lt").alias("p"),
+        C.convert_ltree_array("lta").alias("a"),
+    ).collect()
+    assert rows[0]["p"] == "Top.Science"
+    assert rows[0]["a"] == ["Top.A", "Top.B.c1"]
+    # "{}" body splits to [''] — exactly the reference's substring+split
+    assert rows[1]["p"] is None and rows[1]["a"] == [""]
+    assert rows[2]["a"] is None

@@ -58,3 +58,31 @@ def _replay(spark, tmpdir, fmt):
 
 def test_shredded_replay_state_equals_json_replay(spark, tmp_path):
     assert _replay(spark, str(tmp_path), "shredded") == _replay(spark, str(tmp_path), "json")
+
+
+def test_streaming_front_end_reads_shredded_wire(spark, tmp_path):
+    """The file-source schema must come from the log's own footers: a
+    hard-coded JSON wire schema silently nulls every shredded ``change``
+    cell (columns absent from an explicit streaming schema don't error).
+    Regression for the all-NULL state the first streaming soak surfaced."""
+    from debezium_connector_yugabytedb_1_spark.streaming.stream import run_streaming
+
+    ev = str(tmp_path / "wal")
+    write_events(
+        generate_events(spark, 1500, n_repos=6, paths_per_repo=5, n_tablets=4,
+                        payload_format="shredded"),
+        ev,
+    )
+    t = LakeTable(spark, str(tmp_path / "lake"), n_buckets=4)
+    t.init([("commit", "string"), ("lang", "string"), ("content", "string")])
+    ck = CheckpointStore(spark, str(tmp_path / "ckpt"))
+    run_streaming(spark, ev, t, ck, str(tmp_path / "sckpt"))
+
+    t2 = LakeTable(spark, str(tmp_path / "lake2"), n_buckets=4)
+    t2.init([("commit", "string"), ("lang", "string"), ("content", "string")])
+    CdcPipeline(spark, ev, t2, CheckpointStore(spark, str(tmp_path / "ck2")),
+                events_per_batch=1500).run()
+    a = sorted(map(str, t.read().collect()))
+    b = sorted(map(str, t2.read().collect()))
+    assert a == b
+    assert all("commit=None" not in r for r in a[:5])
