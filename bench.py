@@ -246,9 +246,13 @@ def official(cores: int, include_queries: bool = True) -> dict:
     t_start = time.monotonic()
     with open(tee_path, "a") as tee:
         for i in range(reps):
+            # sample BEFORE the rep: sampling after tags every rep with the
+            # bench's own multi-minute load and ruins the contended-vs-quiet
+            # attribution the tee exists to provide
+            load_at_start = load0 if i == 0 else os.getloadavg()[0]
             r = one_run(cores, include_queries=include_queries)
             r["rep"] = i
-            r["loadavg_1min_at_rep_start"] = load0 if i == 0 else os.getloadavg()[0]
+            r["loadavg_1min_at_rep_start"] = load_at_start
             tee.write(json.dumps(r) + "\n")
             tee.flush()
             os.fsync(tee.fileno())

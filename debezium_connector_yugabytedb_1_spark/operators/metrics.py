@@ -18,7 +18,7 @@ import logging
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .order import _SIGN_BIT, _U64_MASK, ht_key
+from .order import _SIGN_BIT, ht_key, ht_to_epoch_ms_py
 
 log = logging.getLogger("ybcdc.metrics")
 
@@ -282,10 +282,10 @@ class TaskMetrics:
         if row["last_txn"] is not None:
             self._last_txn_id = row["last_txn"]
         if row["max_ct_key"] is not None:
-            # undo the ht_key sign-bit flip, then >>12 = physical micros
-            # (SourceInfo.java:96) on the unsigned magnitude
-            raw = (row["max_ct_key"] ^ _SIGN_BIT) & _U64_MASK
-            ms = (raw >> 12) // 1000
+            # undo the ht_key sign-bit flip, then the shared driver-side
+            # HT→epoch decode (ht_to_epoch_ms_py masks to the unsigned
+            # magnitude and applies the SourceInfo.java:96 >>12 shift)
+            ms = ht_to_epoch_ms_py(row["max_ct_key"] ^ _SIGN_BIT)
             self._max_commit_time_ms = max(self._max_commit_time_ms or 0, ms)
         if position:
             self._position.update(position)

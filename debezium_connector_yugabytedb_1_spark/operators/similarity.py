@@ -427,7 +427,15 @@ class IvfIndex:
 
     def add(self, batch: DataFrame) -> int:
         """Assign and persist one increment; O(batch) work, one write.
-        Returns the committed batch id."""
+        Returns the committed batch id.
+
+        Re-adding a ``vec_id`` with a different vector is an UPSERT whose
+        visibility is eventual: until ``compact()``, a query that probes
+        only the old copy's list deterministically scores the stale vector
+        (both copies live in the store; query-side resolution is
+        latest-batch-wins among the copies actually probed). Run
+        ``compact()`` after replacing vectors to make the upsert total —
+        it folds the store to one row per id, keeping the latest batch."""
         import os
 
         if not self.trained:
@@ -480,11 +488,15 @@ class IvfIndex:
         cand = (
             q_probe.join(stored.where(F.col("list_id").isin(*probed)), "list_id")
             .where(F.col("query_id") != F.col("vec_id"))
-            # re-added vec_ids resolve DETERMINISTICALLY: the highest batch
-            # wins (re-add = upsert), ties within a batch break on the
-            # vector itself — ranks never depend on scan order (the old
-            # dropDuplicates picked an arbitrary embedding when an id was
-            # re-added with a different vector)
+            # re-added vec_ids resolve DETERMINISTICALLY among the copies
+            # this query probed: highest batch wins, ties within a batch
+            # break on the vector itself — ranks never depend on scan order
+            # (the old dropDuplicates picked an arbitrary embedding).
+            # Caveat: a re-add whose NEW vector assigned to an unprobed
+            # list is invisible to this query, so it can still score the
+            # stale copy — deterministic, but superseded; compact() resolves
+            # re-adds physically (one row per vec_id, latest batch) and is
+            # the contract for upsert visibility (see add())
             .groupBy("query_id", "vec_id")
             .agg(
                 F.max_by(

@@ -232,6 +232,14 @@ def execute_snapshot_policy(
                     "snapshot_generation": gen,
                 },
             )
+            # a prior run's staging is a frozen copy of the OLD base — a
+            # re-snapshot that reuses it silently never loads the rows the
+            # mode exists to pick up; drop it so run_snapshot restages
+            sp = snapshot_kwargs.get("staging_path")
+            if sp is not None:
+                import shutil
+
+                shutil.rmtree(sp, ignore_errors=True)
         snapshot_kwargs = dict(snapshot_kwargs, batch_prefix=f"snapshot-g{gen}")
     processed = run_snapshot(base, table, ckpt, **snapshot_kwargs)
     return processed, mode != "initial_only"

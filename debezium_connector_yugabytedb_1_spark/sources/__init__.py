@@ -60,9 +60,18 @@ def read_event_stream(
     variants (JSON ``payload`` vs the shredded typed ``change`` struct),
     and pinning the JSON one silently decoded every shredded cell to NULL —
     columns absent from an explicit file-source schema don't error, they
-    null out."""
+    null out.  A WAL with no segments yet (continuous tailing started
+    before the first write) can't be sniffed — fall back to the JSON wire
+    literal so the stream still starts empty and picks up files as they
+    arrive, exactly the pre-sniff behavior."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        schema = spark.read.parquet(path).schema
+    except AnalysisException:
+        schema = EVENT_SCHEMA
     return (
-        spark.readStream.schema(spark.read.parquet(path).schema)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )

@@ -165,3 +165,38 @@ def test_readded_id_resolves_to_latest_batch(spark, tmp_path):
     stored, _, _ = idx._pruned_read(set(range(2)))
     assert stored.groupBy("vec_id").count().where("count > 1").count() == 0
     assert _res(idx.query(queries, k=10, nprobe=4)) == before
+
+
+def test_readded_id_unprobed_list_documented_staleness(spark, tmp_path):
+    """The upsert-visibility contract: a re-added vector whose new copy
+    lives in an unprobed list deterministically scores the stale copy;
+    compact() makes the upsert total."""
+    import numpy as np
+    import pandas as pd
+
+    # 2 well-separated clusters so the quantizer yields 2 clean lists
+    rng = np.random.RandomState(3)
+    base = np.vstack([rng.normal(0, 0.05, (30, 8)) + np.array([1] + [0] * 7),
+                      rng.normal(0, 0.05, (30, 8)) + np.array([0] * 7 + [1])])
+    pdf = pd.DataFrame({"vec_id": range(60), "embedding": [r.astype("float32").tolist() for r in base]})
+    emb = spark.createDataFrame(pdf)
+    idx = IvfIndex(spark, str(tmp_path / "stale"), n_lists=2, n_parts=2)
+    idx.train(emb)
+    idx.add(emb)
+    # move id 0 from cluster A to cluster B (new copy in the OTHER list)
+    moved = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [0], "embedding": [base[35].astype("float32").tolist()]})
+    )
+    idx.add(moved)
+    # query near cluster A with nprobe=1: probes only A's list → sees only
+    # the stale copy of id 0, deterministically
+    q = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [999], "embedding": [base[5].astype("float32").tolist()]})
+    )
+    r1 = _res(idx.query(q, k=60, nprobe=1))
+    assert r1 == _res(idx.query(q, k=60, nprobe=1))  # deterministic
+    assert any(n == 0 for (_q, n, _r) in r1)  # stale copy visible in list A
+    # compact() resolves the upsert: id 0 now ONLY in cluster B's list
+    idx.compact()
+    r2 = _res(idx.query(q, k=60, nprobe=1))
+    assert not any(n == 0 for (_q, n, _r) in r2)

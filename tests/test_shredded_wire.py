@@ -86,3 +86,19 @@ def test_streaming_front_end_reads_shredded_wire(spark, tmp_path):
     b = sorted(map(str, t2.read().collect()))
     assert a == b
     assert all("commit=None" not in r for r in a[:5])
+
+
+def test_stream_starts_on_empty_wal_dir(spark, tmp_path):
+    """Continuous-tailing regression: schema sniffing must not break
+    starting a stream over a WAL directory with no segments yet — the
+    JSON wire literal is the fallback."""
+    from debezium_connector_yugabytedb_1_spark.sources import (
+        EVENT_SCHEMA,
+        read_event_stream,
+    )
+
+    empty = str(tmp_path / "wal_empty")
+    os.makedirs(empty)
+    df = read_event_stream(spark, empty)
+    assert df.isStreaming
+    assert df.schema == EVENT_SCHEMA

@@ -152,3 +152,21 @@ def test_pipeline_start_policy_e2e(spark, tmp_path):
     assert p3.start() == []
     assert p3.snapshot_chunks > 0
     assert ck3.load_rows() and all(r[1] == -1 for r in ck3.load_rows())  # only snapshot offsets
+
+
+def test_always_with_staging_restages_fresh_base(spark, tmp_path):
+    """Regression: a prior run's staging dir is a frozen copy of the OLD
+    base — 'always' must drop it when bumping the generation, else the
+    re-snapshot silently reloads stale data (the exact case the mode
+    exists for)."""
+    t, ck = _mk(spark, tmp_path, "astage")
+    staging = str(tmp_path / "staging")
+    execute_snapshot_policy(
+        "always", _base(spark, 64), t, ck, n_tablets=2, staging_path=staging
+    )
+    assert t.read().count() == 64
+    n2, _ = execute_snapshot_policy(
+        "always", _base(spark, 96), t, ck, n_tablets=2, staging_path=staging
+    )
+    assert n2 > 0
+    assert t.read().count() == 96  # new rows loaded through a FRESH staging
