@@ -653,6 +653,40 @@ def q_dedup_incremental_index(spark, sf_dir):
     return out
 
 
+def q_text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: per-doc 3-gram overlap against a
+    broadcast benchmark shingle set (every 20th doc plays the eval set)."""
+    from debezium_connector_yugabytedb_1_spark.operators.mixing import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    corpus = docs.where(F.col("doc_id") % 20 != 0)
+    return decontaminate(corpus, bench, threshold=0.5)
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic per-stratum hash sampling (corpus mixing weights);
+    membership = pure function of (seed, doc_id) — engine-reproducible."""
+    from debezium_connector_yugabytedb_1_spark.operators.mixing import stratified_sample
+
+    out = stratified_sample(
+        _docs(spark, sf_dir),
+        rates={"en": 0.5, "zh": 1.0, "de": 0.25},
+        strata_col="lang",
+        default_rate=0.0,
+        seed=7,
+    )
+    return out.select("doc_id", "lang")
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Token-budget chunk assignment (sequence packing) within language
+    strata."""
+    from debezium_connector_yugabytedb_1_spark.operators.mixing import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), budget=2000)
+
+
 def q_dedup_simhash(spark, sf_dir):
     """Rows-only check: SimHash band-collision candidate pairs."""
     from debezium_connector_yugabytedb_1_spark.operators.dedup import simhash_pairs
@@ -1021,6 +1055,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_incremental_index": q_dedup_incremental_index,
         "text_line_dedup": q_text_line_dedup,
+        "text_decontaminate": q_text_decontaminate,
+        "sample_stratified": q_sample_stratified,
+        "pack_sequences": q_pack_sequences,
         "text_mask_pii": q_text_mask_pii,
         "dedup_simhash": q_dedup_simhash,
         "ann_brute_force_topk": q_ann_brute_force_topk,
@@ -1156,6 +1193,39 @@ def oracle_sql() -> dict[str, str]:
               len(regexp_extract_all(text, '(\\(\\d{3}\\)\\s?|\\d{3}-)\\d{3}-\\d{4}'))::BIGINT AS n_phone,
               len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))::BIGINT AS n_ip
             FROM d
+        """,
+        "text_decontaminate": f"""
+            WITH sh AS ({_SH_SQL}),
+            bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0),
+            corpus AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 20 != 0)
+            SELECT c.doc_id,
+                   COUNT(*)::BIGINT AS n_shingles,
+                   SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_overlap,
+                   CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*) AS overlap_frac,
+                   (CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*)) >= 0.5 AS contaminated
+            FROM corpus c LEFT JOIN bench b USING (shingle)
+            GROUP BY c.doc_id
+        """,
+        "sample_stratified": """
+            SELECT doc_id, lang FROM documents
+            WHERE substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 4) <
+              CASE lang WHEN 'en' THEN '8000' WHEN 'zh' THEN 'g000'
+                        WHEN 'de' THEN '4000' ELSE '0000' END
+        """,
+        "pack_sequences": """
+            WITH t AS (
+              SELECT doc_id, lang,
+                CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS BIGINT) AS n_tokens
+              FROM documents)
+            SELECT doc_id, lang, n_tokens,
+                   CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+                   CAST((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                             ROWS UNBOUNDED PRECEDING) - n_tokens)
+                        // 2000 AS BIGINT) AS chunk_id
+            FROM t
         """,
         "text_line_dedup": """
             WITH s AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

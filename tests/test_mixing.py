@@ -1,0 +1,101 @@
+"""Corpus-curation operators (operators/mixing.py): benchmark
+decontamination, deterministic stratified sampling, token-budget packing."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from debezium_connector_yugabytedb_1_spark.operators.mixing import (
+    _rate_to_hex,
+    decontaminate,
+    pack_sequences,
+    stratified_sample,
+)
+
+
+def _docs(spark, rows, cols="doc_id long, text string, lang string"):
+    return spark.createDataFrame(rows, cols)
+
+
+# ---------------------------------------------------------------- decontaminate
+def test_decontaminate_overlap_and_coverage(spark):
+    docs = _docs(spark, [
+        (1, "alpha beta gamma delta epsilon", "en"),      # 0 overlap
+        (2, "the quick brown fox jumps high", "en"),      # partial
+        (3, "benchmark text exactly here now", "en"),     # full overlap
+    ])
+    bench = _docs(spark, [
+        (100, "quick brown fox jumps", "en"),
+        (101, "benchmark text exactly here now", "en"),
+    ])
+    out = {r["doc_id"]: r.asDict() for r in decontaminate(docs, bench, threshold=0.5).collect()}
+    assert set(out) == {1, 2, 3}  # every doc reported, hits or not
+    assert out[1]["n_overlap"] == 0 and not out[1]["contaminated"]
+    # doc 2: shingles {the quick brown, quick brown fox, brown fox jumps,
+    # fox jumps high}; bench has {quick brown fox, brown fox jumps} → 2/4
+    assert out[2]["n_overlap"] == 2 and out[2]["n_shingles"] == 4
+    assert out[2]["contaminated"]  # 0.5 >= threshold
+    assert out[3]["overlap_frac"] == 1.0 and out[3]["contaminated"]
+
+
+def test_decontaminate_benchmark_is_broadcast(spark):
+    docs = _docs(spark, [(1, "a b c d", "en")])
+    bench = _docs(spark, [(2, "a b c", "en")])
+    plan = decontaminate(docs, bench)._jdf.queryExecution().executedPlan().toString()
+    # the corpus must never shuffle on the shingle key
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------- sampling
+def test_rate_to_hex_bounds():
+    assert _rate_to_hex(0.0) == "0000"
+    assert _rate_to_hex(0.5) == "8000"
+    assert _rate_to_hex(1.0) == "g000"  # must sort ABOVE every hex prefix
+    assert _rate_to_hex(1.0) > "ffff"
+    with pytest.raises(ValueError):
+        _rate_to_hex(1.5)
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    docs = _docs(spark, [(i, f"t {i}", ["en", "zh", "xx"][i % 3]) for i in range(600)])
+    out = stratified_sample(docs, rates={"en": 0.5, "zh": 1.0}, default_rate=0.0)
+    rows = [(r["doc_id"], r["lang"]) for r in out.collect()]
+    langs = {l for _, l in rows}
+    assert "xx" not in langs            # default_rate=0 drops unknown strata
+    n_zh = sum(1 for _, l in rows if l == "zh")
+    assert n_zh == 200                  # rate 1.0 keeps the whole stratum
+    n_en = sum(1 for _, l in rows if l == "en")
+    assert 60 <= n_en <= 140            # ~rate 0.5 of 200, md5-uniform
+    # pure function of (seed, key): identical across plans and seeds differ
+    again = [(r["doc_id"], r["lang"]) for r in stratified_sample(
+        docs, rates={"en": 0.5, "zh": 1.0}, default_rate=0.0).collect()]
+    assert sorted(rows) == sorted(again)
+    other_seed = [(r["doc_id"], r["lang"]) for r in stratified_sample(
+        docs, rates={"en": 0.5, "zh": 1.0}, default_rate=0.0, seed=8).collect()]
+    assert sorted(rows) != sorted(other_seed)
+
+
+def test_stratified_sample_is_pure_filter(spark):
+    docs = _docs(spark, [(1, "t", "en")])
+    plan = (
+        stratified_sample(docs, rates={"en": 0.5})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # zero shuffles: filter projection only
+
+
+# ---------------------------------------------------------------- packing
+def test_pack_sequences_chunk_assignment(spark):
+    # en: token counts 4, 4, 4 with budget 6 → offsets 0, 4, 8 → chunks 0, 0, 1
+    docs = _docs(spark, [
+        (1, "a b c d", "en"),
+        (2, "e f g h", "en"),
+        (3, "i j k l", "en"),
+        (4, "m n", "zh"),          # separate stratum restarts at offset 0
+    ])
+    out = {r["doc_id"]: r.asDict() for r in pack_sequences(docs, budget=6).collect()}
+    assert [out[i]["chunk_id"] for i in (1, 2, 3)] == [0, 0, 1]
+    assert [out[i]["cum_tokens"] for i in (1, 2, 3)] == [4, 8, 12]
+    assert out[4]["chunk_id"] == 0
+    with pytest.raises(ValueError, match="budget"):
+        pack_sequences(docs, budget=0)
