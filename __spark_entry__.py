@@ -541,6 +541,33 @@ def q_dedup_groups(spark, sf_dir):
     return resolve_groups(pairs)
 
 
+def q_dedup_survivors(spark, sf_dir):
+    """Quality-scored survivor election: per duplicate group keep the
+    LONGEST document (ties → smallest id) — the production policy on top
+    of ``resolve_groups``' min-id default."""
+    from debezium_connector_yugabytedb_1_spark.operators.dedup import (
+        elect_survivors,
+        ngram_jaccard_pairs,
+        resolve_groups,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.5, max_df=256)
+    groups = resolve_groups(pairs)
+    scores = docs.select("doc_id", F.length("text").cast("long").alias("score"))
+    return elect_survivors(groups, scores)
+
+
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals (duplicate-line fraction +
+    top-bigram share)."""
+    from debezium_connector_yugabytedb_1_spark.operators.text import (
+        repetition_features,
+    )
+
+    return repetition_features(_docs(spark, sf_dir))
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     """Rows-only check: MinHash+LSH candidates verified by exact Jaccard
     (signature hashes are engine-specific, not SQL-replicable)."""
@@ -1056,6 +1083,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_index": q_dedup_incremental_index,
         "text_line_dedup": q_text_line_dedup,
         "text_decontaminate": q_text_decontaminate,
+        "dedup_survivors": q_dedup_survivors,
+        "text_repetition": q_text_repetition,
         "sample_stratified": q_sample_stratified,
         "pack_sequences": q_pack_sequences,
         "text_mask_pii": q_text_mask_pii,
@@ -1193,6 +1222,63 @@ def oracle_sql() -> dict[str, str]:
               len(regexp_extract_all(text, '(\\(\\d{3}\\)\\s?|\\d{3}-)\\d{3}-\\d{4}'))::BIGINT AS n_phone,
               len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))::BIGINT AS n_ip
             FROM d
+        """,
+        "dedup_survivors": f"""
+            WITH RECURSIVE sh0 AS ({_SH_SQL}),
+            keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 256),
+            sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id),
+            pairs AS (
+              SELECT doc_a, doc_b
+              FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+              WHERE inter * 1.0 >= 0.5 * (sa.n_sh + sb.n_sh - inter)),
+            edges AS (
+              SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+            reach(n, m) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a),
+            groups AS (
+              SELECT n AS doc_id, least(n, min(m)) AS group_id FROM reach GROUP BY n),
+            scored AS (
+              SELECT g.doc_id, g.group_id, CAST(length(d.text) AS BIGINT) AS score
+              FROM groups g JOIN documents d USING (doc_id)),
+            winners AS (
+              SELECT group_id, doc_id AS survivor_id FROM scored
+              QUALIFY row_number() OVER (
+                PARTITION BY group_id ORDER BY score DESC, doc_id ASC) = 1)
+            SELECT s.doc_id, s.group_id, s.score,
+                   s.doc_id = w.survivor_id AS is_survivor
+            FROM scored s JOIN winners w USING (group_id)
+        """,
+        "text_repetition": f"""
+            WITH lines AS (
+              SELECT doc_id,
+                len(string_split(text, chr(10))) AS n_lines,
+                CAST(1 AS DOUBLE)
+                  - CAST(len(list_distinct(string_split(text, chr(10)))) AS DOUBLE)
+                    / len(string_split(text, chr(10))) AS dup_line_frac
+              FROM documents),
+            grams AS (
+              SELECT doc_id, unnest(list_transform(
+                range(1, greatest(len(string_split({_TOK_NORM}, ' ')) - 1, 1) + 1),
+                i -> string_split({_TOK_NORM}, ' ')[i] || ' ' ||
+                     coalesce(string_split({_TOK_NORM}, ' ')[i+1], ''))) AS gram
+              FROM documents),
+            per_gram AS (
+              SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY doc_id, gram),
+            per_doc AS (
+              SELECT doc_id, CAST(max(c) AS BIGINT) AS top,
+                     CAST(sum(c) AS BIGINT) AS n_bigrams
+              FROM per_gram GROUP BY doc_id)
+            SELECT l.doc_id, l.n_lines, l.dup_line_frac, p.n_bigrams,
+                   CAST(p.top AS DOUBLE) / p.n_bigrams AS top_bigram_share
+            FROM lines l JOIN per_doc p USING (doc_id)
         """,
         "text_decontaminate": f"""
             WITH sh AS ({_SH_SQL}),

@@ -52,6 +52,13 @@ BENCH_QUERIES = [
     "dedup_incremental_index",
     "text_line_dedup",
     "text_mask_pii",
+    # round 6 additions: the corpus-curation layer (decontamination,
+    # deterministic mixing, packing, repetition signals) — cheap
+    # projections/aggregations, benched to keep their cost a recorded trend
+    "text_decontaminate",
+    "sample_stratified",
+    "pack_sequences",
+    "text_repetition",
 ]
 
 

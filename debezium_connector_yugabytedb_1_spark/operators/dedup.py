@@ -491,6 +491,47 @@ def resolve_groups(
     )
 
 
+def elect_survivors(
+    groups: DataFrame,
+    scores: DataFrame,
+    score_col: str = "score",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Survivor policy beyond min-id: per duplicate group, keep the
+    BEST-scoring document (ties → smallest id).
+
+    Production dedup keeps the longest / highest-quality copy, not the
+    numerically smallest id (``resolve_groups``' free default). ``groups``
+    is ``resolve_groups`` output (doc_id, group_id, ...); ``scores`` maps
+    doc_id → a numeric quality score (e.g. ``quality_features``' n_chars
+    or a model score).
+
+    One combinable ``max_by`` per group + a group-keyed join back — no
+    windows, no per-group sorts; the hot path is the same (group_id)
+    shuffle ``resolve_groups`` already paid.
+
+    Returns (doc_id, group_id, <score_col>, is_survivor) for every grouped
+    doc."""
+    g = groups.select(id_col, "group_id").join(
+        scores.select(id_col, score_col), id_col
+    )
+    winners = g.groupBy("group_id").agg(
+        F.max_by(
+            id_col,
+            F.struct(F.col(score_col).alias("s"), (-F.col(id_col)).alias("t")),
+        ).alias("_survivor_id")
+    )
+    return (
+        g.join(winners, "group_id")
+        .select(
+            id_col,
+            "group_id",
+            score_col,
+            (F.col(id_col) == F.col("_survivor_id")).alias("is_survivor"),
+        )
+    )
+
+
 # ------------------------------------------------- incremental minhash
 class MinHashIndex:
     """Persisted MinHash-LSH index for INCREMENTAL dedup — the streaming

@@ -75,6 +75,75 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1, the
+    "repetitious text" filters): documents dominated by repeated lines or
+    a single repeated n-gram are boilerplate/spam and get filtered before
+    training.
+
+    - ``dup_line_frac``     1 − distinct/total lines — pure map-side
+                            expression, no shuffle.
+    - ``top_bigram_share``  occurrences of the most frequent word bigram /
+                            total bigrams — ALSO pure map-side: the doc's
+                            bigram array is sorted and the longest equal
+                            run found with one ``F.aggregate`` linear
+                            scan. The alternative (explode + groupBy
+                            (doc_id, gram)) shuffles every token of the
+                            corpus — the expression form computes the same
+                            number inside the scan stage (7.5 s → ~1 s at
+                            sf0.1, and no shuffle to skew at 100 TB).
+
+    Zero shuffles end to end: one projection over the corpus.
+
+    Output: (doc_id, n_lines, dup_line_frac, n_bigrams, top_bigram_share).
+    Single-line docs have dup_line_frac 0; docs with <2 tokens have one
+    degenerate "bigram" (the whole text) and share 1.0.
+    """
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    nl = F.size(lines)
+    # NON-distinct bigrams (counts matter here — word_shingles dedups)
+    toks = F.split(F.trim(F.regexp_replace(F.lower(t), r"\s+", " ")), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - 2, F.lit(-1)))
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, (i + 1).cast("int")),
+                F.element_at(toks, (i + 2).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    # longest equal run in the SORTED array = max occurrence count
+    zero = F.lit(0).cast("long")
+    run_scan = F.aggregate(
+        F.array_sort(bigrams),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            zero.alias("run"),
+            zero.alias("best"),
+        ),
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.greatest(
+                a["best"],
+                F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1).cast("long")),
+            ).alias("best"),
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        nl.cast("long").alias("n_lines"),
+        (F.lit(1.0) - F.size(F.array_distinct(lines)) / nl).alias("dup_line_frac"),
+        F.size(bigrams).cast("long").alias("n_bigrams"),
+        (run_scan["best"] / F.size(bigrams)).alias("top_bigram_share"),
+    )
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Normalized-token-multiset md5 fingerprint per document."""
     return docs.select(

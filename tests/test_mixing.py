@@ -99,3 +99,44 @@ def test_pack_sequences_chunk_assignment(spark):
     assert out[4]["chunk_id"] == 0
     with pytest.raises(ValueError, match="budget"):
         pack_sequences(docs, budget=0)
+
+
+# ------------------------------------------------- survivor policy / repetition
+def test_elect_survivors_best_score_wins(spark):
+    from debezium_connector_yugabytedb_1_spark.operators.dedup import elect_survivors
+
+    groups = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (9, 7)], "doc_id long, group_id long"
+    )
+    scores = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 99), (7, 5), (9, 5)], "doc_id long, score long"
+    )
+    out = {r["doc_id"]: r.asDict() for r in elect_survivors(groups, scores).collect()}
+    assert [out[i]["is_survivor"] for i in (1, 2, 3)] == [False, True, False]  # tie -> min id
+    assert out[7]["is_survivor"] and not out[9]["is_survivor"]
+    # exactly one survivor per group
+    assert sum(v["is_survivor"] for v in out.values()) == 2
+
+
+def test_repetition_features_signals(spark):
+    from debezium_connector_yugabytedb_1_spark.operators.text import repetition_features
+
+    docs = _docs(spark, [
+        (1, "same line\nsame line\nsame line\nother", "en"),   # 4 lines, 2 distinct
+        (2, "spam spam spam spam spam", "en"),                  # one bigram repeated
+        (3, "all fresh words here now", "en"),                  # no repetition
+    ])
+    out = {r["doc_id"]: r.asDict() for r in repetition_features(docs).collect()}
+    assert out[1]["n_lines"] == 4 and out[1]["dup_line_frac"] == 0.5
+    assert out[2]["top_bigram_share"] == 1.0                    # "spam spam" x4
+    assert out[3]["dup_line_frac"] == 0.0
+    assert out[3]["top_bigram_share"] == 0.25                   # 4 distinct bigrams
+
+
+def test_repetition_features_zero_shuffle(spark):
+    from debezium_connector_yugabytedb_1_spark.operators.text import repetition_features
+
+    docs = _docs(spark, [(1, "a b a b", "en")])
+    plan = repetition_features(docs)._jdf.queryExecution().executedPlan().toString()
+    # the scale contract: one projection, no (doc, gram) shuffle, no Python
+    assert "Exchange" not in plan and "Python" not in plan
