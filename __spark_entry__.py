@@ -541,6 +541,30 @@ def q_dedup_groups(spark, sf_dir):
     return resolve_groups(pairs)
 
 
+def q_dedup_exact_index(spark, sf_dir):
+    """Incremental exact-dedup index: ingest the documents table in two
+    id-ordered batches through ``ExactDedupIndex.add`` (partition-pruned
+    hash store) and return every row's duplicate flag + retained first
+    occurrence. Because batch 1's ids all precede batch 2's, first-seen ≡
+    global min(doc_id) per hash — the SQL oracle."""
+    import shutil
+    import tempfile
+
+    from debezium_connector_yugabytedb_1_spark.operators.dedup import ExactDedupIndex
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    mid = docs.agg(F.max("doc_id")).first()[0] // 2
+    path = tempfile.mkdtemp(prefix="exidx_query_")
+    try:
+        idx = ExactDedupIndex(spark, path, n_parts=8)
+        o1 = idx.add(docs.where(F.col("doc_id") <= mid))
+        o2 = idx.add(docs.where(F.col("doc_id") > mid))
+        out = o1.unionByName(o2).localCheckpoint()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return out
+
+
 def q_dedup_survivors(spark, sf_dir):
     """Quality-scored survivor election: per duplicate group keep the
     LONGEST document (ties → smallest id) — the production policy on top
@@ -1084,6 +1108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_line_dedup": q_text_line_dedup,
         "text_decontaminate": q_text_decontaminate,
         "dedup_survivors": q_dedup_survivors,
+        "dedup_exact_index": q_dedup_exact_index,
         "text_repetition": q_text_repetition,
         "sample_stratified": q_sample_stratified,
         "pack_sequences": q_pack_sequences,
@@ -1222,6 +1247,16 @@ def oracle_sql() -> dict[str, str]:
               len(regexp_extract_all(text, '(\\(\\d{3}\\)\\s?|\\d{3}-)\\d{3}-\\d{4}'))::BIGINT AS n_phone,
               len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))::BIGINT AS n_ip
             FROM d
+        """,
+        "dedup_exact_index": """
+            WITH t AS (
+              SELECT doc_id, md5(text) AS text_md5,
+                     min(doc_id) OVER (PARTITION BY md5(text)) AS first_id
+              FROM documents)
+            SELECT doc_id, text_md5,
+                   doc_id != first_id AS is_duplicate,
+                   CASE WHEN doc_id != first_id THEN first_id END AS dup_of
+            FROM t
         """,
         "dedup_survivors": f"""
             WITH RECURSIVE sh0 AS ({_SH_SQL}),

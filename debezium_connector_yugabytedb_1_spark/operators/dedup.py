@@ -532,6 +532,166 @@ def elect_survivors(
     )
 
 
+# ------------------------------------------------- incremental exact
+class ExactDedupIndex:
+    """Persisted exact-dedup membership index — the streaming complement of
+    ``dedup_exact``: each batch of documents is checked against every hash
+    ingested so far WITHOUT rereading the corpus, then only the NEW hashes
+    are folded in. The ingest-time "have I seen this exact text before"
+    primitive every CDC-fed corpus needs.
+
+    Store layout (the shared ``operators/_store`` crash-safe protocol, as
+    ``MinHashIndex``/``IvfIndex``): ``(text_md5, first_id)`` rows hash-
+    partitioned by ``pmod(xxhash64(text_md5), n_parts)`` under
+    ``hashes/batch=<n>/hkey=<k>``. ``add()`` reads ONLY the hkey
+    partitions its batch touches (stats in ``last_add_stats``, asserted in
+    tests, not claimed), so per-add bytes are proportional to the batch,
+    not the corpus. First-occurrence is a map-side-combinable
+    ``min(doc_id)`` — one (text_md5) shuffle of the BATCH per add.
+    """
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        n_parts: int = 64,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ):
+        import json
+        import os
+
+        if n_parts < 1:
+            raise ValueError(f"n_parts must be >= 1, got {n_parts}")
+        self.spark = spark
+        self.path = path
+        self.n_parts = n_parts
+        self.id_col, self.text_col = id_col, text_col
+        self.last_add_stats: dict = {}
+        os.makedirs(path, exist_ok=True)
+        self._hashes = os.path.join(path, "hashes")
+        geo = {"n_parts": n_parts}
+        pfile = os.path.join(path, "params.json")
+        if os.path.exists(pfile):
+            with open(pfile) as f:
+                stored = json.load(f)
+            if {k: stored.get(k) for k in geo} != geo:
+                raise ValueError(
+                    f"index at {path} was built with {stored}, reopened with "
+                    f"{geo}; geometry is immutable per index"
+                )
+        else:
+            tmp = pfile + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(geo, f)
+            os.replace(tmp, pfile)
+
+    def _manifest(self) -> list[int]:
+        from ._store import read_manifest
+
+        return read_manifest(self.path)
+
+    def _hkey(self, col: str = "text_md5"):
+        return F.pmod(F.xxhash64(col), F.lit(self.n_parts)).cast("int")
+
+    def add(self, docs: DataFrame) -> DataFrame:
+        """Flag each incoming row against the store AND its own batch;
+        fold the new hashes in. Returns (doc_id, text_md5, is_duplicate,
+        dup_of) — ``dup_of`` = the retained first occurrence's id (NULL
+        for winners). Winner within a batch = smallest id per hash."""
+        import os
+
+        from ._store import commit_manifest, pruned_partition_read
+
+        batch = docs.select(
+            F.col(self.id_col).alias("doc_id"),
+            F.md5(F.col(self.text_col)).alias("text_md5"),
+        ).localCheckpoint()
+        committed = self._manifest()
+        stored = None
+        h_read = h_total = 0
+        if committed:
+            keys = {
+                r[0] for r in batch.select(self._hkey().alias("k")).distinct().collect()
+            }
+            stored, h_read, h_total = pruned_partition_read(
+                self.spark, self._hashes, "hkey", keys, committed
+            )
+        self.last_add_stats = {
+            "hash_partitions_read": h_read,
+            "hash_partitions_total": h_total,
+        }
+        win = batch.groupBy("text_md5").agg(F.min("doc_id").alias("_batch_first"))
+        joined = batch.join(win, "text_md5")
+        if stored is not None:
+            joined = joined.join(
+                stored.select("text_md5", F.col("first_id").alias("_stored_first")),
+                "text_md5",
+                "left",
+            )
+        else:
+            joined = joined.withColumn("_stored_first", F.lit(None).cast("long"))
+        first = F.coalesce("_stored_first", "_batch_first")
+        out = joined.select(
+            "doc_id",
+            "text_md5",
+            (F.col("doc_id") != first).alias("is_duplicate"),
+            F.when(F.col("doc_id") != first, first).alias("dup_of"),
+        ).localCheckpoint()  # materialize BEFORE the store mutates below
+        new = (
+            win.join(
+                joined.where(F.col("_stored_first").isNull())
+                .select("text_md5")
+                .distinct(),
+                "text_md5",
+            )
+            .select("text_md5", F.col("_batch_first").alias("first_id"))
+            .withColumn("hkey", self._hkey())
+        )
+        n = max(committed, default=-1) + 1
+        (
+            new.repartition("hkey")
+            .write.partitionBy("hkey")
+            .mode("overwrite")
+            .parquet(os.path.join(self._hashes, f"batch={n}"))
+        )
+        commit_manifest(self.path, self._manifest() + [n])
+        return out
+
+    def compact(self) -> int:
+        """Fold every committed batch into one (listing stays O(n_parts) on
+        long-running ingest); crash-safe like ``add``. Returns #batches
+        merged."""
+        import os
+        import shutil
+
+        from ._store import commit_manifest, pruned_partition_read
+
+        batches = self._manifest()
+        if len(batches) <= 1:
+            return 0
+        stored, _, _ = pruned_partition_read(
+            self.spark, self._hashes, "hkey", set(range(self.n_parts)), batches
+        )
+        n = max(batches) + 1
+        (
+            # hashes are add-once (only unseen ones are written), so the
+            # fold is a plain rewrite; project away read-side partition cols
+            stored.select("text_md5", "first_id")
+            .withColumn("hkey", self._hkey())
+            .repartition("hkey")
+            .write.partitionBy("hkey")
+            .mode("overwrite")
+            .parquet(os.path.join(self._hashes, f"batch={n}"))
+        )
+        commit_manifest(self.path, [n])
+        for b in batches:
+            shutil.rmtree(
+                os.path.join(self._hashes, f"batch={b}"), ignore_errors=True
+            )
+        return len(batches)
+
+
 # ------------------------------------------------- incremental minhash
 class MinHashIndex:
     """Persisted MinHash-LSH index for INCREMENTAL dedup — the streaming

@@ -264,3 +264,59 @@ def test_minhash_index_geometry_pinned_and_crash_safe(spark, tmp_path):
     got |= {(r["doc_a"], r["doc_b"]) for r in idx.add(c1).collect()}
     assert got == want
     assert idx._manifest() == [0, 1]
+
+
+# ------------------------------------------------- incremental exact index
+def test_exact_index_chunked_equals_oneshot_and_pruned(spark, tmp_path):
+    from debezium_connector_yugabytedb_1_spark.operators.dedup import ExactDedupIndex
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i % 37}") for i in range(200)], "doc_id long, text string"
+    )
+
+    def flags(chunks, name):
+        idx = ExactDedupIndex(spark, str(tmp_path / name), n_parts=8)
+        outs = [idx.add(docs.where(c)) for c in chunks]
+        got = {}
+        for o in outs:
+            for r in o.collect():
+                got[r["doc_id"]] = (r["is_duplicate"], r["dup_of"])
+        return idx, got
+
+    one_idx, one = flags([F.lit(True)], "one")
+    chk_idx, chk = flags(
+        [F.col("doc_id") < 80, F.col("doc_id").between(80, 139), F.col("doc_id") >= 140],
+        "chk",
+    )
+    assert one == chk and len(one) == 200
+    # every non-winner points at the global first occurrence (min doc_id)
+    assert all(d == i % 37 for i, (dup, d) in chk.items() if dup)
+    # later adds read only the touched hash partitions, and fewer dirs than
+    # the store's total listing (3 batches x 8 parts by then)
+    st = chk_idx.last_add_stats
+    assert 0 < st["hash_partitions_read"] <= st["hash_partitions_total"]
+    # compact: 3 batches -> 1, results preserved on a follow-up add
+    assert chk_idx.compact() == 3
+    after = chk_idx.add(
+        spark.createDataFrame([(900, "text 5"), (901, "brand new")], "doc_id long, text string")
+    ).collect()
+    m = {r["doc_id"]: (r["is_duplicate"], r["dup_of"]) for r in after}
+    assert m[900] == (True, 5) and m[901] == (False, None)
+
+
+def test_exact_index_geometry_and_orphan(spark, tmp_path):
+    from debezium_connector_yugabytedb_1_spark.operators.dedup import ExactDedupIndex
+
+    docs = spark.createDataFrame([(1, "a"), (2, "a")], "doc_id long, text string")
+    p = str(tmp_path / "g")
+    idx = ExactDedupIndex(spark, p, n_parts=4)
+    idx.add(docs)
+    with pytest.raises(ValueError, match="immutable"):
+        ExactDedupIndex(spark, p, n_parts=8)
+    # orphan batch dir (crashed add) is invisible: manifest rules
+    import os
+    os.makedirs(os.path.join(p, "hashes", "batch=99", "hkey=0"), exist_ok=True)
+    out = ExactDedupIndex(spark, p, n_parts=4).add(
+        spark.createDataFrame([(3, "a")], "doc_id long, text string")
+    ).collect()
+    assert out[0]["is_duplicate"] and out[0]["dup_of"] == 1
