@@ -32,13 +32,22 @@ def _sha256_pandas(s: pd.Series) -> pd.Series:
     return s.map(lambda x: hashlib.sha256(x.encode()).hexdigest() if x is not None else None)
 
 
+def norm_tokens(col: Column | str) -> Column:
+    """THE canonical token split every text operator shares (shingles,
+    fingerprints, simhash, bigrams): lowercase → collapse whitespace runs →
+    trim → split on single space. This expression is also the Spark twin of
+    the DuckDB oracle's ``_TOK_NORM`` — keep them in lockstep or oracle
+    equivalence silently breaks."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")), " ")
+
+
 def rolling_fingerprint(col: Column | str, *, normalize: bool = True) -> Column:
     """Document fingerprint: md5 over the normalized token multiset
     (lowercase, whitespace-collapsed, sorted distinct tokens). Pure JVM."""
     c = F.col(col) if isinstance(col, str) else col
     if normalize:
-        toks = F.split(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")), " ")
-        c = F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))
+        c = F.concat_ws(" ", F.array_sort(F.array_distinct(norm_tokens(c))))
     return F.md5(c)
 
 
@@ -73,7 +82,7 @@ def stopword_count(col: Column | str, stopwords=EN_STOPWORDS) -> Column:
 def word_shingles(col: Column | str, k: int = 3) -> Column:
     """Array of k-word shingles (JVM: split + transform over a sequence)."""
     c = F.col(col) if isinstance(col, str) else col
-    toks = F.split(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")), " ")
+    toks = norm_tokens(c)
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1)))
     return F.when(

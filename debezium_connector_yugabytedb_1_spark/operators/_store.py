@@ -62,3 +62,26 @@ def pruned_partition_read(
     if not sel:
         return None, 0, total
     return spark.read.option("basePath", root).parquet(*sel), len(sel), total
+
+
+def check_or_write_geometry(path: str, geo: dict) -> None:
+    """Persist the index geometry on first open, verify it on every later
+    one (write-temp + atomic replace, like the manifest). Geometry baked
+    into a store's partitioning/hash families is immutable: reopening with
+    different values would read the wrong partitions or join incomparable
+    hashes with no error. A params.json missing a key (older/foreign
+    layout) is the same mismatch, not a KeyError."""
+    pfile = os.path.join(path, "params.json")
+    if os.path.exists(pfile):
+        with open(pfile) as f:
+            stored = json.load(f)
+        if {k: stored.get(k) for k in geo} != geo:
+            raise ValueError(
+                f"index at {path} was built with {stored}, reopened with "
+                f"{geo}; geometry is immutable per index"
+            )
+    else:
+        tmp = pfile + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(geo, f)
+        os.replace(tmp, pfile)

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import word_shingles
+from ..functions import norm_tokens, word_shingles
 
 
 
@@ -314,12 +314,7 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
         _spread(docs, cols=("doc_id",))
         .select(
             "doc_id",
-            F.explode(
-                F.split(
-                    F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")),
-                    " ",
-                )
-            ).alias("tok"),
+            F.explode(norm_tokens(F.col(text_col))).alias("tok"),
         )
         .where(F.col("tok") != "")
     )
@@ -511,9 +506,12 @@ def elect_survivors(
     shuffle ``resolve_groups`` already paid.
 
     Returns (doc_id, group_id, <score_col>, is_survivor) for every grouped
-    doc."""
+    doc. Docs missing from ``scores`` stay in the output with a NULL score
+    and lose to any scored group-mate (struct comparison sorts NULL below
+    every value) — an inner join here would silently DROP them, and a
+    caller deleting non-survivors would never see those ids."""
     g = groups.select(id_col, "group_id").join(
-        scores.select(id_col, score_col), id_col
+        scores.select(id_col, score_col), id_col, "left"
     )
     winners = g.groupBy("group_id").agg(
         F.max_by(
@@ -570,21 +568,9 @@ class ExactDedupIndex:
         self.last_add_stats: dict = {}
         os.makedirs(path, exist_ok=True)
         self._hashes = os.path.join(path, "hashes")
-        geo = {"n_parts": n_parts}
-        pfile = os.path.join(path, "params.json")
-        if os.path.exists(pfile):
-            with open(pfile) as f:
-                stored = json.load(f)
-            if {k: stored.get(k) for k in geo} != geo:
-                raise ValueError(
-                    f"index at {path} was built with {stored}, reopened with "
-                    f"{geo}; geometry is immutable per index"
-                )
-        else:
-            tmp = pfile + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(geo, f)
-            os.replace(tmp, pfile)
+        from ._store import check_or_write_geometry
+
+        check_or_write_geometry(path, {"n_parts": n_parts})
 
     def _manifest(self) -> list[int]:
         from ._store import read_manifest
@@ -603,9 +589,15 @@ class ExactDedupIndex:
 
         from ._store import commit_manifest, pruned_partition_read
 
+        # NULL text gets a sentinel key (md5 outputs are 32 hex chars, so
+        # "NULL" cannot collide): md5(NULL) is NULL and every downstream
+        # join would silently DROP those rows — all NULL-text docs dedup
+        # together, matching dedup_exact's null-group semantics
         batch = docs.select(
             F.col(self.id_col).alias("doc_id"),
-            F.md5(F.col(self.text_col)).alias("text_md5"),
+            F.coalesce(
+                F.md5(F.col(self.text_col)), F.lit("NULL")
+            ).alias("text_md5"),
         ).localCheckpoint()
         committed = self._manifest()
         stored = None
@@ -673,6 +665,13 @@ class ExactDedupIndex:
         stored, _, _ = pruned_partition_read(
             self.spark, self._hashes, "hkey", set(range(self.n_parts)), batches
         )
+        if stored is None:  # committed batches with zero data rows
+            commit_manifest(self.path, [max(batches)])
+            for b in batches[:-1]:
+                shutil.rmtree(
+                    os.path.join(self._hashes, f"batch={b}"), ignore_errors=True
+                )
+            return len(batches)
         n = max(batches) + 1
         (
             # hashes are add-once (only unseen ones are written), so the
@@ -769,27 +768,18 @@ class MinHashIndex:
         # prune the wrong directories, with no error — persist on first
         # open, verify on every later one (threshold only filters output
         # rows and may vary freely)
-        geo = {
-            "k": k,
-            "n_hashes": n_hashes,
-            "bands": bands,
-            "n_posting_parts": n_posting_parts,
-            "n_set_parts": n_set_parts,
-        }
-        pfile = os.path.join(path, "params.json")
-        if os.path.exists(pfile):
-            with open(pfile) as f:
-                stored = json.load(f)
-            if stored != geo:
-                raise ValueError(
-                    f"index at {path} was built with {stored}, reopened "
-                    f"with {geo}; geometry is immutable per index"
-                )
-        else:
-            tmp = pfile + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(geo, f)
-            os.replace(tmp, pfile)
+        from ._store import check_or_write_geometry
+
+        check_or_write_geometry(
+            path,
+            {
+                "k": k,
+                "n_hashes": n_hashes,
+                "bands": bands,
+                "n_posting_parts": n_posting_parts,
+                "n_set_parts": n_set_parts,
+            },
+        )
 
     # -- batch commit protocol (shared with IvfIndex): see operators/_store
     def _manifest(self) -> list[int]:

@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import TOKEN_RE, word_shingles
+from ..functions import token_count, word_shingles
 from .dedup import _spread
 
 
@@ -93,6 +93,13 @@ def _rate_to_hex(rate: float) -> str:
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0, 1], got {rate}")
     n = int(rate * 65536)
+    if n == 0 and rate > 0.0:
+        # silently keeping ZERO rows from a stratum the caller asked to
+        # sample is the worst failure mode — surface the resolution floor
+        raise ValueError(
+            f"rate {rate} is below the 1/65536 resolution of the 4-hex-char "
+            "threshold; use a coarser rate or pre-filter the stratum"
+        )
     # rate 1.0 must beat every hex prefix; "10000" would LOSE the
     # lexicographic compare to "2000"+ (string order, not numeric) — 'g'
     # sorts above every hex digit
@@ -146,9 +153,10 @@ def pack_sequences(
 
     if budget < 1:
         raise ValueError(f"budget must be >= 1, got {budget}")
-    toks = F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0)).cast(
-        "long"
-    )
+    # the SAME tokenizer quality_features/token-count queries use — an
+    # inline copy would silently diverge from their n_tokens if the BPE-ish
+    # rule ever changes
+    toks = token_count(F.col(text_col)).cast("long")
     w = (
         Window.partitionBy(strata_col)
         .orderBy(F.col(id_col))

@@ -333,24 +333,11 @@ class IvfIndex:
         self.last_query_stats: dict = {}
         os.makedirs(path, exist_ok=True)
         self._vectors = os.path.join(path, "vectors")
-        geo = {"n_lists": n_lists, "n_parts": n_parts, "seed": seed}
-        pfile = os.path.join(path, "params.json")
-        if os.path.exists(pfile):
-            with open(pfile) as f:
-                stored = json.load(f)
-            # stored.get(): a params.json from an older/foreign store layout
-            # may lack a key — that is the same "geometry mismatch" error,
-            # not a bare KeyError
-            if {k: stored.get(k) for k in geo} != geo:
-                raise ValueError(
-                    f"index at {path} was built with {stored}, reopened with "
-                    f"{geo}; geometry is immutable per index"
-                )
-        else:
-            tmp = pfile + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(geo, f)
-            os.replace(tmp, pfile)
+        from ._store import check_or_write_geometry
+
+        check_or_write_geometry(
+            path, {"n_lists": n_lists, "n_parts": n_parts, "seed": seed}
+        )
 
     # -- batch commit protocol (shared with MinHashIndex): operators/_store
     def _manifest(self) -> list[int]:

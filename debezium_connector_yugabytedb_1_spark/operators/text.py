@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import (
-    TOKEN_RE,
+    norm_tokens,
     punct_count,
     rolling_fingerprint,
     stopword_count,
@@ -103,7 +103,7 @@ def repetition_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     lines = F.split(t, "\n")
     nl = F.size(lines)
     # NON-distinct bigrams (counts matter here — word_shingles dedups)
-    toks = F.split(F.trim(F.regexp_replace(F.lower(t), r"\s+", " ")), " ")
+    toks = norm_tokens(t)  # the shared canonical tokenizer (oracle twin)
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - 2, F.lit(-1)))
     bigrams = F.when(

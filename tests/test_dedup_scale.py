@@ -320,3 +320,23 @@ def test_exact_index_geometry_and_orphan(spark, tmp_path):
         spark.createDataFrame([(3, "a")], "doc_id long, text string")
     ).collect()
     assert out[0]["is_duplicate"] and out[0]["dup_of"] == 1
+
+
+def test_exact_index_null_text_not_dropped(spark, tmp_path):
+    """Regression: md5(NULL) is NULL and every join would silently drop
+    NULL-text rows — they get a sentinel key and dedup together (the
+    dedup_exact null-group semantics)."""
+    from debezium_connector_yugabytedb_1_spark.operators.dedup import ExactDedupIndex
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None)], "doc_id long, text string"
+    )
+    idx = ExactDedupIndex(spark, str(tmp_path / "n"), n_parts=4)
+    out = {r["doc_id"]: (r["is_duplicate"], r["dup_of"]) for r in idx.add(docs).collect()}
+    assert len(out) == 3                      # nothing vanished
+    assert out[2] == (False, None) and out[3] == (True, 2)
+    # empty-store compact over zero-row batches is a no-op, not a crash
+    e = ExactDedupIndex(spark, str(tmp_path / "e"), n_parts=4)
+    empty = docs.where("doc_id < 0")
+    e.add(empty); e.add(empty)
+    assert e.compact() == 2

@@ -140,3 +140,24 @@ def test_repetition_features_zero_shuffle(spark):
     plan = repetition_features(docs)._jdf.queryExecution().executedPlan().toString()
     # the scale contract: one projection, no (doc, gram) shuffle, no Python
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_elect_survivors_keeps_unscored_docs(spark):
+    """Regression: an inner join dropped grouped docs missing from scores —
+    they must stay in the output (NULL score) and lose to scored mates;
+    an all-unscored group still elects exactly one winner (min id)."""
+    from debezium_connector_yugabytedb_1_spark.operators.dedup import elect_survivors
+
+    groups = spark.createDataFrame(
+        [(1, 1), (2, 1), (8, 8), (9, 8)], "doc_id long, group_id long"
+    )
+    scores = spark.createDataFrame([(2, 5)], "doc_id long, score long")
+    out = {r["doc_id"]: r["is_survivor"] for r in elect_survivors(groups, scores).collect()}
+    assert out == {1: False, 2: True, 8: True, 9: False}
+
+
+def test_rate_below_resolution_raises():
+    from debezium_connector_yugabytedb_1_spark.operators.mixing import _rate_to_hex
+
+    with pytest.raises(ValueError, match="resolution"):
+        _rate_to_hex(1e-6)
