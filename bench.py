@@ -211,7 +211,11 @@ def _wait_for_quiet() -> tuple[float, bool]:
     drop below SPARK_GRAFT_LOAD_MAX (default 2.0); return (loadavg, still
     contended?).  Only meaningful BEFORE we start our own Spark work."""
     threshold = float(os.environ.get("SPARK_GRAFT_LOAD_MAX", "2.0"))
-    wait_max = float(os.environ.get("SPARK_GRAFT_QUIET_WAIT", "300"))
+    # default wait is capped low: the caller invoking `python bench.py` may
+    # itself run under a timeout, and losing the whole record to a long
+    # quiet-wait is worse than starting tagged-contended (the teed rep
+    # series still shows which reps were clean)
+    wait_max = float(os.environ.get("SPARK_GRAFT_QUIET_WAIT", "120"))
     waited = 0.0
     load = os.getloadavg()[0]
     while load > threshold and waited < wait_max:
@@ -238,7 +242,7 @@ def official(cores: int, include_queries: bool = True) -> dict:
     the best rep's headline + per-query minima, with the full rep series
     and load tags embedded in the printed JSON."""
     reps = int(os.environ.get("SPARK_GRAFT_REPS", "3"))
-    budget = float(os.environ.get("SPARK_GRAFT_REPS_BUDGET", "900"))
+    budget = float(os.environ.get("SPARK_GRAFT_REPS_BUDGET", "600"))
     load0, contended = _wait_for_quiet()
     if contended:
         print(
