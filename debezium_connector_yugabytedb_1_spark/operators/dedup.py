@@ -12,8 +12,10 @@ Scale notes (the whole point of each design):
   band — pure JVM aggregates, no UDF, deterministic; band-bucket join
   produces candidates; exact Jaccard verifies. This is the 100 TB path:
   candidate generation is linear + one shuffle per band union.
-- **simhash**: 64-bit signature via numpy in an Arrow pandas UDF (bit ops
-  are a poor fit for SQL exprs); near-dup = identical band prefixes.
+- **simhash**: 64-bit signature entirely in JVM expressions — distinct-token
+  pre-aggregation on xxhash64 longs, branchless 2·S−T bit votes as plain
+  ``sum`` aggregates (no Python anywhere); near-dup = identical band
+  prefixes.
 - **embedding cosine**: see similarity.py (shares the kNN machinery).
 """
 
@@ -178,8 +180,11 @@ def _doc_sets_sigs(docs: DataFrame, text_col: str, k: int, n_hashes: int) -> Dat
             F.transform(word_shingles(text_col, k), lambda s: F.xxhash64(s))
         ).alias("s"),
     )
+    # the n seed-hashed minima are built as one SQL string per aggregate
+    # (one py4j call each) — at bench scale the wall of these queries is
+    # driver-bound, and every chained Column op is a py4j round trip
     aggs = [F.collect_set("s").alias("sh")] + [
-        F.min(F.xxhash64("s", F.lit(i))).alias(f"h{i}") for i in range(n_hashes)
+        F.expr(f"min(xxhash64(s, {i}))").alias(f"h{i}") for i in range(n_hashes)
     ]
     return sh_occ.groupBy("doc_id").agg(*aggs).localCheckpoint()
 
@@ -188,11 +193,13 @@ def _buckets_from_sigs(per_doc: DataFrame, n_hashes: int, bands: int) -> DataFra
     """(doc_id, band, bucket) rows: the h0..h{n-1} signature columns banded
     into ``bands`` xxhash64 buckets — a pure projection, no shuffle."""
     rows = n_hashes // bands
-    band_buckets = F.array(
-        *[
-            F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)])
+    band_buckets = F.expr(
+        "array("
+        + ",".join(
+            "xxhash64(" + ",".join(f"h{b * rows + r}" for r in range(rows)) + ")"
             for b in range(bands)
-        ]
+        )
+        + ")"
     )
     return per_doc.select("doc_id", F.posexplode(band_buckets).alias("band", "bucket"))
 
@@ -308,8 +315,6 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     assembled expression-side from the vote signs.
 
     Output: (doc_id, simhash:long). Docs with no tokens produce no row."""
-    from functools import reduce
-
     toks = (
         _spread(docs, cols=("doc_id",))
         .select(
@@ -331,30 +336,30 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     tok_counts = toks.groupBy(
         "doc_id", F.xxhash64("tok").alias("th")
     ).agg(F.count(F.lit(1)).alias("cnt"))
-    h = F.col("th")
-    cnt = F.col("cnt")
     # branchless voting: vote_j = sum(cnt·(2·bit_j − 1)) = 2·S_j − T with
     # S_j = sum(cnt·bit_j), T = sum(cnt) — 64 mul-add aggregates plus one
     # total instead of 64 conditional branches per distinct-token row;
-    # sign(vote_j) > 0 ⟺ 2·S_j > T exactly (integer arithmetic).
+    # sign(vote_j) > 0 ⟺ 2·S_j > T exactly (integer arithmetic). The 64
+    # aggregates and the 64-term signature OR-chain are composed as SQL
+    # strings (one py4j call per aggregate, one for the whole signature)
+    # instead of ~800 chained Column calls: at bench scale this query's
+    # wall is dominated by driver-side plan construction, and the JVM
+    # parses one string far faster than py4j builds the same tree.
     votes = tok_counts.groupBy("doc_id").agg(
-        F.sum(cnt).alias("tot"),
+        F.expr("sum(cnt)").alias("tot"),
         *[
-            F.sum(F.shiftright(h, j).bitwiseAND(F.lit(1)).cast("long") * cnt).alias(
+            F.expr(f"sum((shiftright(th, {j}) & CAST(1 AS BIGINT)) * cnt)").alias(
                 f"s{j}"
             )
             for j in range(64)
         ],
     )
-    one = F.lit(1).cast("long")
-    sig = reduce(
-        lambda acc, j: acc.bitwiseOR(
-            F.when(F.col(f"s{j}") * 2 > F.col("tot"), F.shiftleft(one, j)).otherwise(
-                F.lit(0).cast("long")
-            )
-        ),
-        range(64),
-        F.lit(0).cast("long"),
+    sig = F.expr(
+        " | ".join(
+            f"(CASE WHEN s{j} * 2 > tot THEN shiftleft(CAST(1 AS BIGINT), {j}) "
+            "ELSE CAST(0 AS BIGINT) END)"
+            for j in range(64)
+        )
     )
     return votes.select("doc_id", sig.alias("simhash"))
 
@@ -811,32 +816,60 @@ class MinHashIndex:
 
     def add(self, docs: DataFrame) -> DataFrame:
         import os
+        import time
+
+        prof = os.environ.get("SPARK_GRAFT_PROFILE") == "1"
+        t_last = time.monotonic()
+
+        def _t(label):
+            nonlocal t_last
+            if prof:
+                now = time.monotonic()
+                print(f"[profile] mhidx.{label}: {now - t_last:.3f}s", flush=True)
+                t_last = now
 
         # ONE materialization of the expensive shingle+signature pass:
         # everything downstream (bands, guard ids, verify sets, BOTH store
-        # writes) is a cheap projection over this checkpoint. The previous
-        # shape checkpointed `banded` instead, so the sets write and the
-        # guard re-ran the full shingle aggregation — 3 passes per add.
-        per_doc = _doc_sets_sigs(
-            docs, self.text_col, self.k, self.n_hashes
-        ).localCheckpoint()
+        # writes) is a cheap projection over this checkpoint (which
+        # ``_doc_sets_sigs`` itself takes — re-checkpointing here would pay
+        # a second full copy of every set+signature row per add). The
+        # previous shape checkpointed `banded` instead, so the sets write
+        # and the guard re-ran the full shingle aggregation — 3 passes per
+        # add.
+        per_doc = _doc_sets_sigs(docs, self.text_col, self.k, self.n_hashes)
+        _t("per_doc")
         banded = _buckets_from_sigs(per_doc, self.n_hashes, self.bands).withColumn(
             "pkey", self._pkey()
         )
         committed = self._manifest()
+        _t("banded")
         if committed:
+            # ---- touched-partition discovery: the guard's skey set and the
+            # candidate read's pkey set come from ONE union collect over the
+            # checkpointed rows (they were two driver jobs; every extra
+            # driver-synchronous job is pure serial time per add)
+            keys = (
+                per_doc.select(self._skey().alias("k"), F.lit(0).alias("side"))
+                .distinct()
+                .unionByName(
+                    banded.select(F.col("pkey").alias("k"), F.lit(1).alias("side"))
+                    .distinct()
+                )
+                .collect()
+            )
+            guard_keys = {r["k"] for r in keys if r["side"] == 0}
+            new_pkeys = {r["k"] for r in keys if r["side"] == 1}
+            _t("keys_collect")
             # ---- re-add guard: scan only the doc_id column of the skey
             # partitions that could hold the incoming ids (ADVICE r4: a
             # silent re-add would duplicate postings/sets and inflate later
             # verifies)
-            new_ids = per_doc.select("doc_id", self._skey().alias("skey"))
-            guard_keys = {r[0] for r in new_ids.select("skey").distinct().collect()}
             stored_ids, g_read, g_total = self._pruned_read(
                 self._sets, "skey", guard_keys
             )
             if stored_ids is not None:
                 dup = stored_ids.select("doc_id").join(
-                    new_ids.select("doc_id"), "doc_id", "left_semi"
+                    per_doc.select("doc_id"), "doc_id", "left_semi"
                 )
                 if not dup.isEmpty():
                     some = [r[0] for r in dup.limit(5).collect()]
@@ -844,12 +877,12 @@ class MinHashIndex:
                         f"doc_ids already indexed (each doc_id must be added "
                         f"exactly once): {some}"
                     )
+            _t("guard_isempty")
             # ---- candidates: new × new (a < b) plus stored × new — stored
             # postings pruned to the pkey partitions present in the NEW
             # batch (a candidate must share (band, bucket) with a new doc,
             # so the pruning is lossless); stored-internal pairs were
             # emitted by earlier adds
-            new_pkeys = {r[0] for r in banded.select("pkey").distinct().collect()}
             stored_b, p_read, p_total = self._pruned_read(
                 self._buckets, "pkey", new_pkeys
             )
@@ -881,6 +914,7 @@ class MinHashIndex:
             )
             cand = cand.unionByName(vs_stored)
         cand = cand.distinct().localCheckpoint()
+        _t("cand_ckpt")
         sets = per_doc.select("doc_id", "sh")
         s_read = s_total = 0
         if committed:
@@ -889,16 +923,19 @@ class MinHashIndex:
             # broadcasts the id set when small) so the array_intersect
             # join's build side is candidates-only, not partitions-full.
             # With nothing committed every candidate is in per_doc already.
+            # ``cand`` is already checkpointed, so the id projection is a
+            # block read both times it is used — its own checkpoint was one
+            # more materialization job per add for nothing.
             cand_ids = (
                 cand.select(F.col("doc_a").alias("doc_id"))
                 .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
                 .distinct()
-                .localCheckpoint()
             )
             verify_keys = {
                 r[0]
                 for r in cand_ids.select(self._skey().alias("k")).distinct().collect()
             }
+            _t("verify_keys_collect")
             stored_s, s_read, s_total = self._pruned_read(
                 self._sets, "skey", verify_keys
             )
@@ -924,7 +961,7 @@ class MinHashIndex:
         sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
         inter = F.size(F.array_intersect("sh_a", "sh_b"))
         na, nb = F.size("sh_a"), F.size("sh_b")
-        pairs = (
+        pairs_plan = (
             cand.join(sa, "doc_a")
             .join(sb, "doc_b")
             .select(
@@ -934,15 +971,19 @@ class MinHashIndex:
                 F.col("inter") * F.lit(1.0)
                 >= F.lit(self.threshold) * (F.col("na") + F.col("nb") - F.col("inter"))
             )
-            .localCheckpoint()  # materialize BEFORE the index mutates below
         )
         # a retried failed add() (and a crashed compact()) reuses its slot:
         # max+1 is stable until the manifest commits
         n = max(self._manifest(), default=-1) + 1
-        # the postings and sets writes are independent jobs over the same
-        # checkpoint (different roots, different keys) — run them
-        # CONCURRENTLY so the add pays one write's wall, not two; neither
-        # is visible until the single manifest commit below either way
+        # the postings write, the sets write, and the verify-pairs
+        # materialization are three INDEPENDENT jobs over already-
+        # materialized inputs (the per_doc/cand checkpoints plus committed
+        # batch dirs, which the writes never touch — they create a new
+        # ``batch=<n>`` that stays invisible until the manifest commit) —
+        # run all three concurrently so the add's tail pays the longest
+        # job's wall, not the sum. The pairs result must still materialize
+        # BEFORE the commit: a later add/compact may delete the very dirs
+        # its plan reads.
         from concurrent.futures import ThreadPoolExecutor
 
         def _write_buckets():
@@ -963,10 +1004,13 @@ class MinHashIndex:
                 .parquet(os.path.join(self._sets, f"batch={n}"))
             )
 
-        with ThreadPoolExecutor(2) as ex:
+        with ThreadPoolExecutor(3) as ex:
+            fut_pairs = ex.submit(pairs_plan.localCheckpoint)
             futs = [ex.submit(_write_buckets), ex.submit(_write_sets)]
+            pairs = fut_pairs.result()
             for f in futs:
                 f.result()  # re-raise any write failure before the commit
+        _t("pairs_and_writes")
         self._commit_manifest(self._manifest() + [n])  # atomically visible
         return pairs
 
