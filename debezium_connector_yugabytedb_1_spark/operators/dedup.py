@@ -102,7 +102,11 @@ def ngram_jaccard_pairs(
     sh = _spread(docs).select("doc_id", F.explode(word_shingles(text_col, k)).alias("shingle"))
     if max_df is not None:
         # one expensive shingle pass, materialized: postings = shingle →
-        # sorted doc list (df-capped); both pair-gen and sizes derive from it
+        # sorted doc list (df-capped); both pair-gen and sizes derive from
+        # it. (Measured and rejected: an explicit repartition("shingle")
+        # to skip the map-side partial collect_set — Spark still plans
+        # partial+final back-to-back in the post-exchange stage, so the
+        # extra exchange only added cost: 2.5s -> 4-5s at sf0.1.)
         postings = (
             sh.groupBy("shingle")
             .agg(F.collect_set("doc_id").alias("docs"))
@@ -247,6 +251,24 @@ def minhash_lsh_pairs(
             "a non-integer rows-per-band would silently floor-divide"
         )
     per_doc = _doc_sets_sigs(docs, text_col, k, n_hashes)
+    # df-cap probe launched as a background job the moment the per-doc rows
+    # exist: whether any shingle exceeds max_df decides which verify-set
+    # plan is used, but the answer is only needed AFTER the candidate plan
+    # is built — overlapping the probe job with that (driver-side) plan
+    # construction hides most of its wall
+    probe = pool = None
+    if max_df is not None:
+        occ = per_doc.select("doc_id", F.explode("sh").alias("shingle"))
+        hot = (
+            occ.groupBy("shingle")
+            .count()
+            .where(F.col("count") > max_df)
+            .select("shingle")
+        )
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(1)
+        probe = pool.submit(hot.isEmpty)
     banded = _buckets_from_sigs(per_doc, n_hashes, bands)
     a = banded.alias("a")
     b_ = banded.alias("b")
@@ -270,17 +292,11 @@ def minhash_lsh_pairs(
     if max_df is None:
         sets = per_doc.select("doc_id", "sh")
     else:
-        occ = per_doc.select("doc_id", F.explode("sh").alias("shingle"))
-        hot = (
-            occ.groupBy("shingle")
-            .count()
-            .where(F.col("count") > max_df)
-            .select("shingle")
-        )
         # common case: nothing exceeds the df cap — the cached per-doc sets
         # ARE the capped sets, so skip the explode→anti-join→re-collect
-        # pass entirely. Emptiness probe only — no rows pulled to the driver.
-        if hot.isEmpty():
+        # pass entirely. Emptiness probe only (started above, overlapped
+        # with the candidate-plan build) — no rows pulled to the driver.
+        if probe.result():
             sets = per_doc.select("doc_id", "sh")
         else:
             sets = (
@@ -288,6 +304,7 @@ def minhash_lsh_pairs(
                 .groupBy("doc_id")
                 .agg(F.collect_set("shingle").alias("sh"))
             )
+        pool.shutdown(wait=False)
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

@@ -192,6 +192,35 @@ class CdcPipeline:
                 return json.load(f).get("segment_size")
         return None
 
+    def _max_index(self, events: DataFrame) -> int | None:
+        """Log extent. On a WAL-segment-partitioned log the max index lives
+        in the MAX segment directory (``segment = index // segment_size`` is
+        the write invariant ``_window``'s pruning already relies on), so the
+        extent scan prunes to ONE segment — O(segment), not O(log): the full
+        column scan here was several seconds of serial start-up time per
+        replay at 8M events and would be O(100 TB) on a real log."""
+        import os
+
+        seg = self._segment_size()
+        if seg and "segment" in events.columns:
+            segs = [
+                int(n.split("=", 1)[1])
+                for n in os.listdir(self.events_path)
+                if n.startswith("segment=")
+            ]
+            if segs:
+                m = (
+                    events.where(F.col("segment") == max(segs))
+                    .agg(F.max("index"))
+                    .collect()[0][0]
+                )
+                if m is not None:
+                    return int(m)
+                # max segment dir committed but empty — fall through to the
+                # full scan rather than mis-report an empty log
+        m = events.agg(F.max("index")).collect()[0][0]
+        return None if m is None else int(m)
+
     def _window(self, events: DataFrame, lo: int, hi: int) -> DataFrame:
         """Poll window [lo, hi): pushes an index-range predicate and — when
         the log is WAL-segment partitioned — a partition-pruning segment
@@ -233,9 +262,16 @@ class CdcPipeline:
         """Process micro-batch windows from the stored cursor to the end of
         the available log (or ``max_batches`` windows — the kill/resume
         test's kill switch)."""
+        import os as _os
+        import time as _time
+
+        _prof = _os.environ.get("SPARK_GRAFT_PROFILE") == "1"
+        _t0 = _time.monotonic()
         events = self._events()
         if events is None:  # fully retention-pruned log — all consumed
             return []
+        if _prof:
+            print(f"[profile] events_read: {_time.monotonic() - _t0:.3f}s", flush=True)
         lo = int(self.ckpt.meta().get("next_lo", 0))
         results: list[BatchResult] = []
         n = 0
@@ -263,12 +299,17 @@ class CdcPipeline:
             # the first window's stats job runs concurrently with the
             # log-extent scan below — neither depends on the other, and both
             # are otherwise serial time ahead of the first merge
+            _t0 = _time.monotonic()
             fut, window = submit(pool, lo, lo + self.events_per_batch)
-            hi_row = events.agg(F.max("index").alias("m")).collect()[0]
-            if hi_row["m"] is None:
+            if _prof:
+                print(f"[profile] stats_submit: {_time.monotonic() - _t0:.3f}s", flush=True)
+            _t0 = _time.monotonic()
+            max_index = self._max_index(events)
+            if _prof:
+                print(f"[profile] max_index: {_time.monotonic() - _t0:.3f}s", flush=True)
+            if max_index is None:
                 fut.result()
                 return []
-            max_index = int(hi_row["m"])
             while lo <= max_index and (max_batches is None or n < max_batches):
                 hi = lo + self.events_per_batch
                 if fut is None:
