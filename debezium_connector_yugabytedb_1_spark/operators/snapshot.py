@@ -208,6 +208,12 @@ def execute_snapshot_policy(
                 "initially or when needed."
             )
         return 0, True
+    if mode == "initial" and base is None and ckpt.meta().get("snapshot_done"):
+        # the snapshot already completed: InitialSnapshotter streams without
+        # a source once offsets exist (r6 ADVICE — a restart otherwise had
+        # to re-supply a base it would never read, and a default
+        # CdcPipeline(snapshot_source=None) could never start())
+        return 0, True
     if base is None:
         raise ConfigError(
             "snapshot_mode",

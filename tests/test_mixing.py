@@ -161,3 +161,111 @@ def test_rate_below_resolution_raises():
 
     with pytest.raises(ValueError, match="resolution"):
         _rate_to_hex(1e-6)
+
+
+# ------------------------------------------------- r7 scale-shape guards
+def test_decontaminate_broadcast_guard_regimes(spark, tmp_path):
+    # file-backed benchmark under the threshold → explicit broadcast hint;
+    # over the threshold → hint dropped, planner picks a shuffle join when
+    # auto-broadcast is off. Results identical in both regimes.
+    docs = _docs(spark, [
+        (1, "the quick brown fox jumps high", "en"),
+        (2, "alpha beta gamma delta epsilon", "en"),
+    ])
+    bpath = str(tmp_path / "bench.parquet")
+    _docs(spark, [(100, "quick brown fox jumps", "en")]).write.parquet(bpath)
+    bench = spark.read.parquet(bpath)
+
+    small = decontaminate(docs, bench, threshold=0.5)
+    plan_small = small._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_small and "SortMergeJoin" not in plan_small
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        big = decontaminate(
+            docs, bench, threshold=0.5, max_broadcast_input_bytes=0
+        )
+        plan_big = big._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan_big  # hint really dropped
+        rows_big = sorted(tuple(r) for r in big.collect())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    rows_small = sorted(tuple(r) for r in small.collect())
+    assert rows_small == rows_big
+
+
+def _cum_window_reference(docs, budget, strata_col):
+    # the original single-window formulation, as the equivalence oracle
+    from pyspark.sql import Window
+    from debezium_connector_yugabytedb_1_spark.functions import token_count
+
+    toks = token_count(F.col("text")).cast("long")
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = docs.select(
+        F.col("doc_id"), F.col(strata_col), toks.alias("n_tokens")
+    ).withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return out.withColumn(
+        "chunk_id",
+        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / F.lit(budget)).cast("long"),
+    )
+
+
+def test_pack_sequences_two_pass_equivalent_and_parallel(spark):
+    # dominant stratum (95% of rows) + a NULL stratum + non-contiguous ids
+    rows = [(i * 3 + 7, f"w{i} " * ((i % 13) + 1), "web") for i in range(950)]
+    rows += [(i * 3 + 8, f"c{i} tok", "code") for i in range(40)]
+    rows += [(9999, "null stratum row", None)]
+    docs = _docs(spark, rows)
+    ref = sorted(tuple(r) for r in _cum_window_reference(docs, 50, "lang").collect())
+    got = sorted(
+        tuple(r) for r in pack_sequences(docs, budget=50, two_pass=True).collect()
+    )
+    assert got == ref
+    # the two-pass window is scoped to (stratum, bucket), so the dominant
+    # stratum's ledger is split across bucket partitions — visible in the
+    # window spec of the plan
+    plan = (
+        pack_sequences(docs, budget=50, two_pass=True)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "_bkt" in plan
+
+
+def test_pack_sequences_one_pass_unchanged(spark):
+    docs = _docs(spark, [
+        (1, "a b c d", "en"), (2, "e f g h", "en"), (3, "i j", "zh"),
+    ])
+    ref = sorted(tuple(r) for r in _cum_window_reference(docs, 6, "lang").collect())
+    got = sorted(tuple(r) for r in pack_sequences(docs, budget=6, two_pass=False).collect())
+    auto = sorted(tuple(r) for r in pack_sequences(docs, budget=6).collect())
+    assert got == ref == auto
+
+
+def test_pack_sequences_global(spark):
+    docs = _docs(spark, [
+        (1, "a b c d", "en"), (2, "e f g h", "zh"), (3, "i j k l", "de"),
+    ])
+    for tp in (False, True):
+        out = {r["doc_id"]: r.asDict() for r in
+               pack_sequences(docs, budget=6, strata_col=None, two_pass=tp).collect()}
+        # one global sequence across strata, ordered by id: 4, 8, 12
+        assert [out[i]["cum_tokens"] for i in (1, 2, 3)] == [4, 8, 12]
+        assert [out[i]["chunk_id"] for i in (1, 2, 3)] == [0, 0, 1]
+        assert "lang" not in out[1]
+
+
+def test_stratified_sample_null_key_kept(spark):
+    docs = spark.createDataFrame(
+        [(None, "t", "zh"), (1, "t", "zh"), (None, "t", "xx")],
+        "doc_id long, text string, lang string",
+    )
+    out = stratified_sample(docs, rates={"zh": 1.0}, strata_col="lang").collect()
+    # rate-1.0 stratum keeps its NULL-keyed row; default_rate 0 drops 'xx'
+    assert sorted((r["doc_id"] is None, r["lang"]) for r in out) == [
+        (False, "zh"), (True, "zh"),
+    ]

@@ -170,3 +170,22 @@ def test_always_with_staging_restages_fresh_base(spark, tmp_path):
     )
     assert n2 > 0
     assert t.read().count() == 96  # new rows loaded through a FRESH staging
+
+
+def test_initial_completed_streams_without_base(spark, tmp_path):
+    # r6 ADVICE: once the snapshot is done, a restart with
+    # snapshot_source=None must stream (InitialSnapshotter needs no source
+    # when offsets exist) instead of demanding a base it would never read
+    t, ck = _mk(spark, tmp_path, "initial_nobase")
+    base = _base(spark)
+    n, stream = execute_snapshot_policy("initial", base, t, ck, n_tablets=2)
+    assert n > 0 and stream
+    n2, stream2 = execute_snapshot_policy("initial", None, t, ck, n_tablets=2)
+    assert (n2, stream2) == (0, True)
+
+
+def test_initial_incomplete_still_requires_base(spark, tmp_path):
+    # an unfinished snapshot must NOT be skipped over: no base → error
+    t, ck = _mk(spark, tmp_path, "initial_incomplete")
+    with pytest.raises(ConfigError):
+        execute_snapshot_policy("initial", None, t, ck)
