@@ -46,6 +46,10 @@ def _spread(df: DataFrame, min_bytes: int = 256 << 10, cols=None) -> DataFrame:
         total = sum(os.path.getsize(f.replace("file:", "")) for f in files)
     except Exception:
         return df
+    # full fan-out on purpose (measured r7): shingling/token expansion is
+    # CPU-dense per input byte, so even sub-MB inputs want every core — a
+    # bytes-proportional width (total/min_bytes partitions) serialized the
+    # shingle aggregations and ran minhash/ngram 2.2-2.4x SLOWER at sf0.1
     target = df.sparkSession.sparkContext.defaultParallelism
     if cols:
         if files and total > min_bytes:
@@ -166,31 +170,32 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------- minhash
 def _doc_sets_sigs(docs: DataFrame, text_col: str, k: int, n_hashes: int) -> DataFrame:
     """(doc_id, sh, h0..h{n-1}) — per-doc hashed shingle set AND the full
-    minhash signature from ONE aggregation over the exploded occurrences.
-
-    sig[i] = min(xxhash64(shingle_hash, i)) over occurrences equals the min
-    over the distinct set (duplicates can't change a min), so the sets and
-    all n signatures share one pass: each occurrence row updates n fixed
-    -width long buffers plus the collect_set — no per-seed
-    ``transform(sh, ...)`` array materialization (the previous shape
-    allocated n transformed copies of every shingle array per doc). Docs
-    are pre-spread by hash(doc_id), so when the input is file-backed both
-    this groupBy and any later per-doc groupBy run complete-mode in the
-    same stage — the only shuffle is the raw docs. localCheckpointed:
-    per-doc-bounded state, read by the bucket projection AND the verify."""
-    sh_occ = _spread(docs, cols=("doc_id",)).select(
-        "doc_id",
-        F.explode(
-            F.transform(word_shingles(text_col, k), lambda s: F.xxhash64(s))
-        ).alias("s"),
+    minhash signature as a PURE PROJECTION: ``word_shingles`` already
+    yields the per-doc distinct shingle array, so there is nothing to
+    aggregate — ``sh`` is the hashed array (``array_distinct`` post-hash
+    mirrors the old ``collect_set`` exactly, also under the astronomically
+    rare intra-doc hash collision) and ``sig[i] = array_min(transform(sh,
+    s -> xxhash64(s, i)))``. The explode → groupBy shape this replaces
+    paid a 2-stage aggregation (32 min buffers + collect_set over every
+    occurrence row) plus its shuffle machinery for per-doc-local math; the
+    projection runs in the scan stage with zero exchanges. ``word_shingles``
+    is never empty (short texts yield the whole-text shingle), so no doc
+    drops out, matching the agg. The n seed minima are one SQL string each
+    (one py4j call — at bench scale these queries are driver-plan-bound).
+    localCheckpointed: per-doc-bounded state, read by the bucket
+    projection AND the verify."""
+    sh_arr = F.array_distinct(
+        F.transform(word_shingles(text_col, k), lambda s: F.xxhash64(s))
     )
-    # the n seed-hashed minima are built as one SQL string per aggregate
-    # (one py4j call each) — at bench scale the wall of these queries is
-    # driver-bound, and every chained Column op is a py4j round trip
-    aggs = [F.collect_set("s").alias("sh")] + [
-        F.expr(f"min(xxhash64(s, {i}))").alias(f"h{i}") for i in range(n_hashes)
-    ]
-    return sh_occ.groupBy("doc_id").agg(*aggs).localCheckpoint()
+    base = _spread(docs).select("doc_id", sh_arr.alias("sh"))
+    return base.select(
+        "doc_id",
+        "sh",
+        *[
+            F.expr(f"array_min(transform(sh, s -> xxhash64(s, {i})))").alias(f"h{i}")
+            for i in range(n_hashes)
+        ],
+    ).localCheckpoint()
 
 
 def _buckets_from_sigs(per_doc: DataFrame, n_hashes: int, bands: int) -> DataFrame:
