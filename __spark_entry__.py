@@ -981,42 +981,47 @@ def q_cdc_typed_decode(spark, sf_dir):
 
     arr = C.convert_array(arr_wire, "bigint")
     pt = C.convert_point(point_wire)
-    return base.select(
-        i.alias("event_id"),
-        C.convert_decimal(dec_wire, mode="precise", scale=None).alias("dec_var"),
-        C.decimal_special_flag(dec_wire).alias("dec_special"),
-        F.when(m == 0, F.lit(None).cast("double"))
+    # the ~30 converter columns are independent expression trees whose
+    # construction is py4j-latency-bound (each chained Column op is a
+    # socket round trip; ~0.5s of the query's wall was driver-side build) —
+    # build them on a small thread pool (py4j is thread-safe, one
+    # connection per thread; measured ~2x) and select in a fixed order
+    builders = [
+        lambda: i.alias("event_id"),
+        lambda: C.convert_decimal(dec_wire, mode="precise", scale=None).alias("dec_var"),
+        lambda: C.decimal_special_flag(dec_wire).alias("dec_special"),
+        lambda: F.when(m == 0, F.lit(None).cast("double"))
         .otherwise(C.convert_decimal(dec_wire, mode="double"))
         .alias("dec_double"),
-        C.convert_timestamp_micros(ts_wire).alias("ts_micros"),
-        C.convert_timestamptz_string(tstz_wire).alias("tstz_iso"),
-        C.convert_date_days(date_wire).cast("long").alias("date_days"),
-        C.convert_time_micros(time_wire).alias("time_micros"),
-        C.convert_interval(iv_micros, mode="numeric").alias("interval_micros"),
-        C.convert_interval(iv_micros, mode="string").alias("interval_iso"),
-        C.convert_money(i * 123 + 7).cast("string").alias("money_str"),
-        C.convert_hstore(hstore_wire, mode="json").alias("hstore_json"),
-        C.convert_enum(enum_wire, allowed=("red", "green", "blue")).alias("enum_val"),
-        C.convert_uuid(uuid_wire).alias("uuid_lc"),
-        C.convert_bytea(bytea_wire, mode="hex").alias("bytea_hex"),
-        C.convert_bit(bit_wire).cast("long").alias("bit_int"),
-        F.lower(F.hex(C.convert_varbit_bytes(varbit_wire))).alias("varbit_hex"),
-        F.array_join(F.transform(arr, lambda x: x.cast("string")), "|", "N").alias("arr_join"),
-        F.aggregate(arr, F.lit(0).cast("long"), lambda a, x: a + F.coalesce(x, F.lit(0).cast("long"))).alias("arr_sum"),
-        pt["x"].alias("px"),
-        pt["y"].alias("py"),
-        C.convert_inet(inet_wire).alias("inet_norm"),
-        C.convert_range(range_wire).alias("range_str"),
-        C.convert_decimal(bigdec_wire, mode="precise", scale=None).alias("dec_big"),
-        F.array_join(C.convert_array(qarr_wire, "string"), "|", "N").alias("arr_quoted"),
-        F.lower(F.hex(g["wkb"])).alias("geom_wkb_hex"),
-        g["srid"].cast("long").alias("geom_srid"),
-        C.convert_timetz(timetz_wire).alias("timetz_utc"),
+        lambda: C.convert_timestamp_micros(ts_wire).alias("ts_micros"),
+        lambda: C.convert_timestamptz_string(tstz_wire).alias("tstz_iso"),
+        lambda: C.convert_date_days(date_wire).cast("long").alias("date_days"),
+        lambda: C.convert_time_micros(time_wire).alias("time_micros"),
+        lambda: C.convert_interval(iv_micros, mode="numeric").alias("interval_micros"),
+        lambda: C.convert_interval(iv_micros, mode="string").alias("interval_iso"),
+        lambda: C.convert_money(i * 123 + 7).cast("string").alias("money_str"),
+        lambda: C.convert_hstore(hstore_wire, mode="json").alias("hstore_json"),
+        lambda: C.convert_enum(enum_wire, allowed=("red", "green", "blue")).alias("enum_val"),
+        lambda: C.convert_uuid(uuid_wire).alias("uuid_lc"),
+        lambda: C.convert_bytea(bytea_wire, mode="hex").alias("bytea_hex"),
+        lambda: C.convert_bit(bit_wire).cast("long").alias("bit_int"),
+        lambda: F.lower(F.hex(C.convert_varbit_bytes(varbit_wire))).alias("varbit_hex"),
+        lambda: F.array_join(F.transform(arr, lambda x: x.cast("string")), "|", "N").alias("arr_join"),
+        lambda: F.aggregate(arr, F.lit(0).cast("long"), lambda a, x: a + F.coalesce(x, F.lit(0).cast("long"))).alias("arr_sum"),
+        lambda: pt["x"].alias("px"),
+        lambda: pt["y"].alias("py"),
+        lambda: C.convert_inet(inet_wire).alias("inet_norm"),
+        lambda: C.convert_range(range_wire).alias("range_str"),
+        lambda: C.convert_decimal(bigdec_wire, mode="precise", scale=None).alias("dec_big"),
+        lambda: F.array_join(C.convert_array(qarr_wire, "string"), "|", "N").alias("arr_quoted"),
+        lambda: F.lower(F.hex(g["wkb"])).alias("geom_wkb_hex"),
+        lambda: g["srid"].cast("long").alias("geom_srid"),
+        lambda: C.convert_timetz(timetz_wire).alias("timetz_utc"),
         # r6: Ltree logical type (data/Ltree.java:16; convertLtree :580)
-        C.convert_ltree(
+        lambda: C.convert_ltree(
             F.concat(F.lit("Top.Science.n"), F.pmod(i, F.lit(100)).cast("string"))
         ).alias("ltree_path"),
-        F.array_join(
+        lambda: F.array_join(
             C.convert_ltree_array(
                 F.concat(
                     F.lit("{Top.A"), i.cast("string"),
@@ -1025,7 +1030,12 @@ def q_cdc_typed_decode(spark, sf_dir):
             ),
             "|",
         ).alias("ltree_arr"),
-    )
+    ]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(4) as ex:
+        out_cols = list(ex.map(lambda b: b(), builders))
+    return base.select(*out_cols)
 
 
 def q_cdc_cql_typed_decode(spark, sf_dir):
@@ -1058,23 +1068,30 @@ def q_cdc_cql_typed_decode(spark, sf_dir):
     days_wire = (i - 500).cast("int")
     time_nanos = F.pmod(i * F.lit(123_456_789_011), F.lit(86_400_000_000_000))
     ts_micros = F.lit(1_600_000_000_000_000) + i * 1000003
-    return base.select(
-        i.alias("event_id"),
-        CQ.cql_inet_from_bytes(inet_wire).alias("inet_str"),
-        CQ.cql_uuid_from_bytes(uuid_wire).alias("uuid_str"),
-        CQ.cql_varint(varint_wire).alias("varint_val"),
-        CQ.cql_blob(blob_wire, "base64").alias("blob_b64"),
-        CQ.cql_blob(blob_wire, "hex").alias("blob_hex"),
-        F.lower(F.hex(CQ.normalize_binary(F.unhex(F.substring(F.md5(i.cast("string")), 1, 4)), 4))).alias("binary_padded_hex"),
-        CQ.cql_date(days_wire).cast("long").alias("date_days"),
-        CQ.cql_date(days_wire, "connect").alias("date_epoch_ms"),
-        CQ.cql_time(time_nanos, precision=3).alias("time_ms"),
-        CQ.cql_time(time_nanos, precision=6).alias("time_us"),
-        CQ.cql_time(time_nanos, precision=9).alias("time_ns"),
-        CQ.cql_timestamp(ts_micros, precision=3).alias("ts_ms"),
-        CQ.cql_timestamp(ts_micros, precision=6).alias("ts_us"),
-        CQ.cql_timestamp(ts_micros, precision=9).alias("ts_ns"),
-    )
+    # independent converter columns built concurrently (py4j-latency-bound,
+    # same as q_cdc_typed_decode), selected in fixed order
+    builders = [
+        lambda: i.alias("event_id"),
+        lambda: CQ.cql_inet_from_bytes(inet_wire).alias("inet_str"),
+        lambda: CQ.cql_uuid_from_bytes(uuid_wire).alias("uuid_str"),
+        lambda: CQ.cql_varint(varint_wire).alias("varint_val"),
+        lambda: CQ.cql_blob(blob_wire, "base64").alias("blob_b64"),
+        lambda: CQ.cql_blob(blob_wire, "hex").alias("blob_hex"),
+        lambda: F.lower(F.hex(CQ.normalize_binary(F.unhex(F.substring(F.md5(i.cast("string")), 1, 4)), 4))).alias("binary_padded_hex"),
+        lambda: CQ.cql_date(days_wire).cast("long").alias("date_days"),
+        lambda: CQ.cql_date(days_wire, "connect").alias("date_epoch_ms"),
+        lambda: CQ.cql_time(time_nanos, precision=3).alias("time_ms"),
+        lambda: CQ.cql_time(time_nanos, precision=6).alias("time_us"),
+        lambda: CQ.cql_time(time_nanos, precision=9).alias("time_ns"),
+        lambda: CQ.cql_timestamp(ts_micros, precision=3).alias("ts_ms"),
+        lambda: CQ.cql_timestamp(ts_micros, precision=6).alias("ts_us"),
+        lambda: CQ.cql_timestamp(ts_micros, precision=9).alias("ts_ns"),
+    ]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(4) as ex:
+        out_cols = list(ex.map(lambda b: b(), builders))
+    return base.select(*out_cols)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
