@@ -60,6 +60,25 @@ def _spread(df: DataFrame, min_bytes: int = 256 << 10, cols=None) -> DataFrame:
     return df
 
 
+def _small_input(df: DataFrame, max_bytes: int = 64 << 20) -> bool:
+    """True iff ``df`` is file-backed and provably small. Join-strategy
+    guard: plans downstream of ``localCheckpoint`` carry FABRICATED size
+    estimates (a LogicalRDD has no real stats), and the static planner has
+    been observed to pick the unbounded pair-expansion side of a join as
+    the broadcast build and die on the 8 GiB cap (dedup_ngram_jaccard at
+    sf1.0, inherited from r6). Callers broadcast the doc-bounded side
+    explicitly when this returns True and pin a sort-merge join when it
+    does not — the choice must never ride on a post-explode estimate."""
+    import os
+
+    try:
+        files = df.inputFiles()
+        total = sum(os.path.getsize(f.replace("file:", "")) for f in files)
+        return bool(files) and total <= max_bytes
+    except Exception:
+        return False
+
+
 # ---------------------------------------------------------------- exact
 def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Keep the smallest doc_id per exact text hash. One hash-shuffle."""
@@ -159,6 +178,14 @@ def ngram_jaccard_pairs(
         )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    # pin the join strategy: ``sizes`` is one (doc_id, count) row per doc —
+    # bounded by the corpus, never by the pair expansion — while ``inter``
+    # sits downstream of a checkpoint with fabricated stats; left to the
+    # planner, the 8 GiB broadcast of ``inter`` killed this query at sf1.0
+    if _small_input(docs):
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
+    else:
+        sa, sb = sa.hint("merge"), sb.hint("merge")
     return (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -312,6 +339,12 @@ def minhash_lsh_pairs(
         pool.shutdown(wait=False)
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    # join-strategy pin (see _small_input): the verify sides are doc-
+    # bounded; the candidate side sits on fabricated checkpoint stats and
+    # must never become the broadcast build of these joins at scale
+    if not _small_input(docs):
+        cand = cand.hint("merge")
+        sa, sb = sa.hint("merge"), sb.hint("merge")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     na, nb = F.size("sh_a"), F.size("sh_b")
     return (
@@ -981,10 +1014,16 @@ class MinHashIndex:
         }
         sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
         sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+        # join-strategy pin (see _small_input): above the small-input bound
+        # the verify joins must not ride on fabricated checkpoint stats
+        verify_cand = cand
+        if not _small_input(docs):
+            verify_cand = cand.hint("merge")
+            sa, sb = sa.hint("merge"), sb.hint("merge")
         inter = F.size(F.array_intersect("sh_a", "sh_b"))
         na, nb = F.size("sh_a"), F.size("sh_b")
         pairs_plan = (
-            cand.join(sa, "doc_a")
+            verify_cand.join(sa, "doc_a")
             .join(sb, "doc_b")
             .select(
                 "doc_a", "doc_b", inter.alias("inter"), na.alias("na"), nb.alias("nb")

@@ -340,3 +340,41 @@ def test_exact_index_null_text_not_dropped(spark, tmp_path):
     empty = docs.where("doc_id < 0")
     e.add(empty); e.add(empty)
     assert e.compact() == 2
+
+
+def test_pair_joins_never_broadcast_unbounded_side(spark, tmp_path, monkeypatch):
+    """r7: downstream of localCheckpoint the planner sees fabricated stats
+    and picked the unbounded pair-expansion side as a broadcast build
+    (8 GiB abort at sf1.0). The verify joins are pinned: small inputs
+    broadcast the doc-bounded sizes side explicitly; non-small inputs
+    force sort-merge — and both regimes return identical rows."""
+    import debezium_connector_yugabytedb_1_spark.operators.dedup as D
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i%7} common text words here and more body {i%5} tail") for i in range(60)],
+        "doc_id long, text string",
+    )
+    p = str(tmp_path / "docs.parquet")
+    docs.write.parquet(p)
+    fdocs = spark.read.parquet(p)
+
+    small = D.ngram_jaccard_pairs(fdocs, k=3, threshold=0.5, max_df=256)
+    plan_small = small._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_small
+    rows_small = sorted(tuple(r) for r in small.collect())
+
+    monkeypatch.setattr(D, "_small_input", lambda df, max_bytes=0: False)
+    big = D.ngram_jaccard_pairs(fdocs, k=3, threshold=0.5, max_df=256)
+    plan_big = big._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan_big
+    rows_big = sorted(tuple(r) for r in big.collect())
+    assert rows_small == rows_big
+
+    mh_small_rows = None
+    monkeypatch.undo()
+    mh_small = D.minhash_lsh_pairs(fdocs, threshold=0.5, max_df=256)
+    mh_small_rows = sorted(tuple(r) for r in mh_small.collect())
+    monkeypatch.setattr(D, "_small_input", lambda df, max_bytes=0: False)
+    mh_big = D.minhash_lsh_pairs(fdocs, threshold=0.5, max_df=256)
+    assert "SortMergeJoin" in mh_big._jdf.queryExecution().executedPlan().toString()
+    assert sorted(tuple(r) for r in mh_big.collect()) == mh_small_rows
