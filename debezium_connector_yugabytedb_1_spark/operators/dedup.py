@@ -898,6 +898,62 @@ class MinHashIndex:
         )
         committed = self._manifest()
         _t("banded")
+        # ---- the two store writes depend ONLY on per_doc/banded (both
+        # checkpointed), never on the candidate/verify phase, and the new
+        # ``batch=<n>`` dirs stay invisible until the manifest commit — so
+        # submit them NOW and let their wall hide under the entire
+        # candidate phase instead of joining its tail (guide §2.6). A
+        # retried failed add (incl. a guard rejection below) reuses slot n
+        # (max+1 is stable until the commit) and overwrites the orphan.
+        from concurrent.futures import ThreadPoolExecutor
+
+        n = max(committed, default=-1) + 1
+
+        def _write_buckets():
+            (
+                banded.repartition("pkey")
+                .write.partitionBy("pkey")
+                .mode("overwrite")
+                .parquet(os.path.join(self._buckets, f"batch={n}"))
+            )
+
+        def _write_sets():
+            (
+                per_doc.select("doc_id", "sh")
+                .withColumn("skey", self._skey())
+                .repartition("skey")
+                .write.partitionBy("skey")
+                .mode("overwrite")
+                .parquet(os.path.join(self._sets, f"batch={n}"))
+            )
+
+        pool = ThreadPoolExecutor(2)
+        write_futs = [pool.submit(_write_buckets), pool.submit(_write_sets)]
+        try:
+            pairs = self._candidate_verify_phase(per_doc, banded, committed, docs, _t)
+        except BaseException:
+            # wait the writes out before propagating (a caller may delete
+            # the store directory on error; racing writers corrupt nothing
+            # uncommitted, but must not outlive the call)
+            for f in write_futs:
+                try:
+                    f.result()
+                except Exception:
+                    pass
+            pool.shutdown()
+            raise
+        for f in write_futs:
+            f.result()  # re-raise any write failure before the commit
+        pool.shutdown()
+        _t("pairs_and_writes")
+        self._commit_manifest(self._manifest() + [n])  # atomically visible
+        return pairs
+
+    def _candidate_verify_phase(self, per_doc, banded, committed, docs, _t):
+        """Candidates + pruned verify + the pairs materialization — every
+        read in here prunes against the COMMITTED manifest, so it never
+        sees the concurrent ``batch=<n>`` writes ``add`` overlaps with it.
+        Returns the checkpointed verified pairs."""
         if committed:
             # ---- touched-partition discovery: the guard's skey set and the
             # candidate read's pkey set come from ONE union collect over the
@@ -1033,47 +1089,11 @@ class MinHashIndex:
                 >= F.lit(self.threshold) * (F.col("na") + F.col("nb") - F.col("inter"))
             )
         )
-        # a retried failed add() (and a crashed compact()) reuses its slot:
-        # max+1 is stable until the manifest commits
-        n = max(self._manifest(), default=-1) + 1
-        # the postings write, the sets write, and the verify-pairs
-        # materialization are three INDEPENDENT jobs over already-
-        # materialized inputs (the per_doc/cand checkpoints plus committed
-        # batch dirs, which the writes never touch — they create a new
-        # ``batch=<n>`` that stays invisible until the manifest commit) —
-        # run all three concurrently so the add's tail pays the longest
-        # job's wall, not the sum. The pairs result must still materialize
-        # BEFORE the commit: a later add/compact may delete the very dirs
-        # its plan reads.
-        from concurrent.futures import ThreadPoolExecutor
-
-        def _write_buckets():
-            (
-                banded.repartition("pkey")
-                .write.partitionBy("pkey")
-                .mode("overwrite")
-                .parquet(os.path.join(self._buckets, f"batch={n}"))
-            )
-
-        def _write_sets():
-            (
-                per_doc.select("doc_id", "sh")
-                .withColumn("skey", self._skey())
-                .repartition("skey")
-                .write.partitionBy("skey")
-                .mode("overwrite")
-                .parquet(os.path.join(self._sets, f"batch={n}"))
-            )
-
-        with ThreadPoolExecutor(3) as ex:
-            fut_pairs = ex.submit(pairs_plan.localCheckpoint)
-            futs = [ex.submit(_write_buckets), ex.submit(_write_sets)]
-            pairs = fut_pairs.result()
-            for f in futs:
-                f.result()  # re-raise any write failure before the commit
-        _t("pairs_and_writes")
-        self._commit_manifest(self._manifest() + [n])  # atomically visible
-        return pairs
+        # the pairs result must materialize BEFORE the manifest commit in
+        # ``add`` (a later add/compact may delete the very dirs its plan
+        # reads); the store writes this phase overlaps with never touch
+        # the committed dirs it reads
+        return pairs_plan.localCheckpoint()
 
     def compact(self) -> int:
         """Rewrite every committed batch into ONE — partition-dir count
