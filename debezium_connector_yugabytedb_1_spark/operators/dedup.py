@@ -684,12 +684,12 @@ class ExactDedupIndex:
         else:
             joined = joined.withColumn("_stored_first", F.lit(None).cast("long"))
         first = F.coalesce("_stored_first", "_batch_first")
-        out = joined.select(
+        out_plan = joined.select(
             "doc_id",
             "text_md5",
             (F.col("doc_id") != first).alias("is_duplicate"),
             F.when(F.col("doc_id") != first, first).alias("dup_of"),
-        ).localCheckpoint()  # materialize BEFORE the store mutates below
+        )
         new = (
             win.join(
                 joined.where(F.col("_stored_first").isNull())
@@ -701,12 +701,28 @@ class ExactDedupIndex:
             .withColumn("hkey", self._hkey())
         )
         n = max(committed, default=-1) + 1
-        (
-            new.repartition("hkey")
-            .write.partitionBy("hkey")
-            .mode("overwrite")
-            .parquet(os.path.join(self._hashes, f"batch={n}"))
-        )
+        # the result materialization and the store write are independent
+        # jobs over the checkpointed batch (the write's ``batch=<n>`` dir
+        # is invisible until the manifest commit, and ``out``'s plan reads
+        # only the committed dirs listed above) — run them concurrently so
+        # the add's tail pays the longer job, not the sum; ``out`` must
+        # still materialize BEFORE the commit (a later add/compact may
+        # delete the committed dirs its plan reads)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _write_new():
+            (
+                new.repartition("hkey")
+                .write.partitionBy("hkey")
+                .mode("overwrite")
+                .parquet(os.path.join(self._hashes, f"batch={n}"))
+            )
+
+        with ThreadPoolExecutor(2) as ex:
+            fut_out = ex.submit(out_plan.localCheckpoint)
+            fut_write = ex.submit(_write_new)
+            out = fut_out.result()
+            fut_write.result()  # re-raise any write failure before the commit
         commit_manifest(self.path, self._manifest() + [n])
         return out
 
